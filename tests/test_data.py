@@ -1,0 +1,100 @@
+"""Data pipeline tests: npz contract, mask conventions, augmentation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vaesne_tpu.data import (
+    augment_multimodal,
+    augment_photometry,
+    augment_spectra,
+    make_goldstein_like,
+    make_images,
+    make_ztf_like,
+    multimodal_tuple,
+    photometry_tuple,
+    repeat_dataset,
+    spectra_tuple,
+    train_test_split,
+)
+
+
+def test_goldstein_contract_keys():
+    d = make_goldstein_like(n=20, spectrum_bins=50, photometry_length=12)
+    for k in ("training_idx", "testing_idx", "flux", "wavelength", "mask",
+              "phase", "photoflux", "phototime", "photomask",
+              "photowavelength", "identity", "flux_mean", "flux_std",
+              "phototime_mean", "phototime_std"):
+        assert k in d, k
+    assert d["flux"].shape == (20, 50)
+    assert d["photoflux"].shape == (20, 12)
+    assert d["mask"].max() <= 1 and d["mask"].min() >= 0  # stored 1 = observed
+    assert set(np.unique(d["photowavelength"])) <= set(range(6))
+
+
+def test_ztf_contract():
+    d = make_ztf_like(n=10, spectrum_bins=30, photometry_length=8)
+    assert set(np.unique(d["photowavelength"])) <= {0, 1}
+    for k in ("spectime_mean", "combined_std", "combined_time_mean"):
+        assert k in d
+
+
+def test_tuple_builders_mask_inversion():
+    d = make_goldstein_like(n=16, spectrum_bins=40, photometry_length=10)
+    spec = spectra_tuple(d)
+    photo = photometry_tuple(d)
+    # stored 1 = observed → tuple mask True = missing (test_photospectra.py:36)
+    np.testing.assert_array_equal(np.asarray(spec[3]), d["mask"] == 0)
+    np.testing.assert_array_equal(np.asarray(photo[3]), d["photomask"] == 0)
+    assert photo[2].dtype == jnp.int32
+    mm = multimodal_tuple(d, idx=np.arange(4))
+    assert mm[0][0].shape[0] == 4 and mm[1][0].shape[0] == 4
+
+
+def test_train_test_split():
+    d = make_goldstein_like(n=20, spectrum_bins=30, photometry_length=8)
+    tr, te = train_test_split(d)
+    assert len(tr) + len(te) == 20
+    assert len(np.intersect1d(tr, te)) == 0
+
+
+def test_augment_spectra_statistics(key):
+    d = make_goldstein_like(n=64, spectrum_bins=64, photometry_length=16)
+    spec = spectra_tuple(d)
+    out = augment_spectra(key, spec)
+    noise = np.asarray(out[0] - spec[0])
+    assert 0.01 < noise.std() < 0.03  # σ = 0.02
+    # masking only ever adds missing points
+    assert bool(jnp.all(jnp.logical_or(~spec[3], out[3])))
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(spec[1]))
+
+
+def test_augment_photometry_global_time_shift(key):
+    d = make_goldstein_like(n=32, spectrum_bins=32, photometry_length=16)
+    photo = photometry_tuple(d)
+    out = augment_photometry(key, photo)
+    shift = np.asarray(out[1] - photo[1])
+    # shift is constant within each curve (test_photospectra.py:76)
+    np.testing.assert_allclose(shift, shift[:, :1], atol=1e-6)
+    assert shift.std() > 0
+
+
+def test_augment_multimodal_jits(key):
+    d = make_goldstein_like(n=16, spectrum_bins=32, photometry_length=8)
+    mm = multimodal_tuple(d)
+    out = jax.jit(augment_multimodal)(key, mm)
+    assert out[0][0].shape == mm[0][0].shape
+    assert out[1][0].shape == mm[1][0].shape
+
+
+def test_repeat_dataset():
+    d = make_goldstein_like(n=8, spectrum_bins=16, photometry_length=4)
+    spec = spectra_tuple(d)
+    rep = repeat_dataset(spec, 3)
+    assert rep[0].shape[0] == 24
+
+
+def test_make_images_range():
+    imgs = make_images(n=4, img_size=16)
+    assert imgs.shape == (4, 3, 16, 16)
+    assert imgs.min() >= -1.0 and imgs.max() <= 1.0

@@ -1,0 +1,26 @@
+"""VAESNe-TPU: a TPU-native JAX framework for multimodal supernova modeling.
+
+From-scratch rebuild of the capabilities of YunyiShen/VAESNe-dev (PyTorch,
+single-GPU) as an idiomatic jit/vmap/pjit framework: per-modality transformer
+VAEs over masked irregular sequences, MoE-MMVAE with K-sample IWAE
+objectives and cross-modal generation, contrastive two-tower pretraining,
+regression heads, fused train steps, mesh-sharded evaluation, and Pallas
+kernels on the hot paths. See SURVEY.md at the repo root for the full
+capability map with reference file:line citations.
+"""
+
+__version__ = "0.1.0"
+
+from . import distributions, objectives, training
+from .distributions import Laplace, Normal, kl_divergence, log_mean_exp
+
+__all__ = [
+    "distributions",
+    "objectives",
+    "training",
+    "Laplace",
+    "Normal",
+    "kl_divergence",
+    "log_mean_exp",
+    "__version__",
+]

@@ -1,0 +1,48 @@
+"""Data pipelines: npz contract loaders, on-device augmentation, synthetic
+Goldstein/ZTF-shaped generators, and image utilities."""
+
+from .augment import (
+    augment_images,
+    augment_multimodal,
+    augment_photometry,
+    augment_spectra,
+    repeat_dataset,
+)
+from .goldstein import (
+    denormalize,
+    load_npz,
+    multimodal_tuple,
+    photometry_tuple,
+    spectra_tuple,
+    train_test_split,
+)
+from .synthetic import (
+    LSST_BANDS,
+    PHOTOMETRY_LENGTH,
+    SPECTRUM_BINS,
+    ZTF_BANDS,
+    make_goldstein_like,
+    make_images,
+    make_ztf_like,
+)
+
+__all__ = [
+    "augment_images",
+    "augment_multimodal",
+    "augment_photometry",
+    "augment_spectra",
+    "repeat_dataset",
+    "denormalize",
+    "load_npz",
+    "multimodal_tuple",
+    "photometry_tuple",
+    "spectra_tuple",
+    "train_test_split",
+    "make_goldstein_like",
+    "make_images",
+    "make_ztf_like",
+    "LSST_BANDS",
+    "PHOTOMETRY_LENGTH",
+    "SPECTRUM_BINS",
+    "ZTF_BANDS",
+]

@@ -1,0 +1,213 @@
+"""Quantitative evaluation harness: one sharded device pass, no job arrays.
+
+Capability mirrored from reference ``cannon/test/goldstein/``:
+  * ``spect_cond_LC.py`` — full-test-set K=100 reconstructions (self + cross
+    modal + unimodal baselines), denormalized, written as npz shards by a
+    400-job SLURM array (spect_cond_LC.sh ``--array=0-399``)
+  * ``evaluation.py``    — shard aggregation → ``avg_metrics.npz``
+  * ``gradual_masking.py`` — robustness sweep masking 0–90 % of the light
+    curve before cross-modal spectra reconstruction
+  * ``eval_paramregression.py`` — |error|/σ for the regression heads
+
+TPU-native design: the test set is chunked with static shapes and each chunk's
+(encode → K-sample decode) runs as one jitted program, optionally sharded over
+the data mesh — the whole 400-job array collapses into a single pass
+(SURVEY §2.4 row "Multi-job sharding").
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import make_mesh, shard_batch
+from .metrics import PHASE_BUCKETS, aggregate_metrics
+
+Array = jax.Array
+
+
+def _pad_to_multiple(tree, multiple: int):
+    """Pad the batch axis up to a multiple (edge-repeat) for static chunking;
+    returns (padded_tree, original_n)."""
+    n = jax.tree_util.tree_leaves(tree)[0].shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return tree, n
+
+    def pad(a):
+        reps = jnp.repeat(a[-1:], rem, axis=0)
+        return jnp.concatenate([a, reps], axis=0)
+
+    return jax.tree_util.tree_map(pad, tree), n
+
+
+def batched_apply(
+    fn: Callable,
+    data,
+    chunk_size: int,
+    mesh=None,
+    unpad_to: Optional[int] = None,
+):
+    """Run ``fn(chunk) -> pytree`` over the test set in fixed-shape chunks and
+    concatenate on the batch axis of each output leaf (axis 1 if the leaf has
+    a leading K axis — detected by ndim bookkeeping is avoided: fn must return
+    arrays whose FIRST axis is the chunk batch axis OR K; we concatenate on
+    the axis whose length equals chunk_size)."""
+    padded, n = _pad_to_multiple(data, chunk_size)
+    total = jax.tree_util.tree_leaves(padded)[0].shape[0]
+    outs = []
+    for i in range(0, total, chunk_size):
+        chunk = jax.tree_util.tree_map(lambda a: a[i : i + chunk_size], padded)
+        if mesh is not None:
+            chunk = shard_batch(chunk, mesh)
+        outs.append(fn(chunk))
+
+    def cat(*leaves):
+        axis = 0 if leaves[0].shape[0] == chunk_size else 1
+        out = jnp.concatenate(leaves, axis=axis)
+        limit = n if unpad_to is None else unpad_to
+        return jax.lax.slice_in_dim(out, 0, limit, axis=axis)
+
+    return jax.tree_util.tree_map(cat, *outs)
+
+
+def mmvae_reconstruction_suite(
+    mm_model,
+    mm_variables,
+    test_batch,  # (photometry tuple, spectra tuple), full test set
+    K: int = 100,
+    chunk_size: int = 64,
+    key: Optional[Array] = None,
+    mesh=None,
+    photo_only=None,  # optional (model, variables) unimodal baselines
+    spec_only=None,
+    norm: Optional[Dict[str, float]] = None,
+) -> Dict[str, np.ndarray]:
+    """Compute the full spect_cond_LC.py output table in one pass.
+
+    Returns the reference's npz-shard key layout (spect_cond_LC.py:114-137):
+    LC2LC / spec2LC / LC2spec / spec2spec (+ LConly/speconly when the
+    unimodal baselines are given, LCencode/specencode posterior means), all
+    denormalized when ``norm`` provides {flux,photoflux}_mean/std.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    # One jitted program per chunk shape: M×M recon matrix + posterior means
+    @jax.jit
+    def full_chunk(chunk):
+        out = {}
+        recons = mm_model.apply(
+            mm_variables, chunk, K, method="reconstruct", rngs={"sample": key}
+        )
+        out["LC2LC"] = recons[0][0]
+        out["LC2spec"] = recons[0][1]
+        out["spec2LC"] = recons[1][0]
+        out["spec2spec"] = recons[1][1]
+        out["LCencode"] = mm_model.apply(
+            mm_variables, method=lambda m: m.vaes[0].encode(chunk[0], True)
+        )
+        out["specencode"] = mm_model.apply(
+            mm_variables, method=lambda m: m.vaes[1].encode(chunk[1], True)
+        )
+        return out
+
+    results = batched_apply(full_chunk, test_batch, chunk_size, mesh=mesh)
+    results = {k: np.asarray(v) for k, v in results.items()}
+
+    if photo_only is not None:
+        pm, pv = photo_only
+        f = jax.jit(
+            lambda chunk: pm.apply(pv, chunk, K, method="reconstruct",
+                                   rngs={"sample": key})
+        )
+        results["LConly"] = np.asarray(
+            batched_apply(f, test_batch[0], chunk_size, mesh=mesh)
+        )
+    if spec_only is not None:
+        sm, sv = spec_only
+        f = jax.jit(
+            lambda chunk: sm.apply(sv, chunk, K, method="reconstruct",
+                                   rngs={"sample": key})
+        )
+        results["speconly"] = np.asarray(
+            batched_apply(f, test_batch[1], chunk_size, mesh=mesh)
+        )
+
+    if norm:
+        # spectra-valued outputs → flux stats; LC-valued → photoflux stats;
+        # posterior means stay raw (spect_cond_LC.py:128-136)
+        for k in ("LC2spec", "spec2spec", "speconly"):
+            if k in results:
+                results[k] = results[k] * norm.get("flux_std", 1.0) + norm.get(
+                    "flux_mean", 0.0
+                )
+        for k in ("LC2LC", "spec2LC", "LConly"):
+            if k in results:
+                results[k] = results[k] * norm.get("photoflux_std", 1.0) + norm.get(
+                    "photoflux_mean", 0.0
+                )
+    return results
+
+
+def evaluate_mmvae(
+    mm_model,
+    mm_variables,
+    test_batch,
+    phase_physical: np.ndarray,
+    gt_spectra: np.ndarray,
+    gt_photometry: Optional[np.ndarray] = None,
+    K: int = 100,
+    chunk_size: int = 64,
+    key: Optional[Array] = None,
+    mesh=None,
+    spec_only=None,
+) -> Dict[str, np.ndarray]:
+    """End-to-end: reconstructions → per-phase residual/coverage/width/MSE,
+    the single-pass equivalent of spect_cond_LC.py + evaluation.py.
+    ``gt_*`` are in the same (physical or normalized) units as the recons."""
+    recs = mmvae_reconstruction_suite(
+        mm_model, mm_variables, test_batch, K=K, chunk_size=chunk_size, key=key,
+        mesh=mesh, spec_only=spec_only,
+    )
+    sets = {"mm": recs["LC2spec"]}
+    gts = {"mm": gt_spectra}
+    if "speconly" in recs:
+        sets["speconly"] = recs["speconly"]
+        gts["speconly"] = gt_spectra
+    return aggregate_metrics(sets, gts, phase_physical)
+
+
+def masking_sweep(
+    mm_model,
+    mm_variables,
+    test_batch,
+    missing_portions: Sequence[float] = (0.0, 0.1, 0.3, 0.5, 0.7, 0.9),
+    K: int = 100,
+    key: Optional[Array] = None,
+) -> Dict[float, np.ndarray]:
+    """Robustness to light-curve masking (gradual_masking.py:67-114): flip an
+    extra ``missing`` fraction of *observed* LC points to masked, then
+    cross-reconstruct spectra (LC→spec). Returns {portion: [K, B, N]}."""
+    if key is None:
+        key = jax.random.PRNGKey(42)  # gradual_masking.py:83 uses seed 42
+    photo, spec = test_batch
+    flux, time, band, mask = photo
+    out = {}
+    recon = jax.jit(
+        lambda batch, k: mm_model.apply(
+            mm_variables, batch, K, method="reconstruct", rngs={"sample": k}
+        )[0][1]
+    )
+    for i, missing in enumerate(missing_portions):
+        k_flip, k_rec = jax.random.split(jax.random.fold_in(key, i))
+        observed = ~mask
+        flip = jnp.logical_and(
+            observed, jax.random.uniform(k_flip, mask.shape) < missing
+        )
+        masked_photo = (flux, time, band, jnp.logical_or(mask, flip))
+        out[float(missing)] = np.asarray(recon((masked_photo, spec), k_rec))
+    return out

@@ -1,0 +1,101 @@
+"""Distribution-parameterized VAE skeleton (reference base_vae.py:8-60).
+
+The torch reference holds distribution *classes* (`pz`, `px_z`, `qz_x`) plus
+encoder/decoder modules on an nn.Module and mutates state (`_qz_x_params`,
+`self.eval()`) during forward. The TPU-native version is a flax module whose
+methods are pure: explicit PRNG keys, explicit `deterministic` flag instead
+of train/eval mode flips, distributions returned as array pytrees.
+
+Uniform API across all modality VAEs (matches the reference surface at e.g.
+PhotometricVAE.py:157-222):
+
+  __call__(x, K)       -> (qz_x, px_z, zs)      # needs rngs={'sample': key}
+  encode(x, mean)      -> posterior mean or distribution
+  decode(zs, x)        -> px_z likelihood over the modality grid
+  reconstruct(x, K)    -> posterior-mean reconstructions [K, B, ...]
+  generate(N, x)       -> prior-sample generations conditioned on x's grids
+
+The importance-sample axis K is handled by flattening K·B into one batch for
+the decoder (the reference's expand/reshape idiom at SpectraVAE.py:186-196);
+under jit this is a free reshape and keeps all matmuls large for the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple, Type
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..distributions import Distribution, Laplace
+
+Array = jax.Array
+
+
+def tile_leading(a: Array, K: int) -> Array:
+    """[B, ...] → [K*B, ...] by broadcasting a new leading axis (free in XLA)."""
+    return jnp.broadcast_to(a[None], (K,) + a.shape).reshape((K * a.shape[0],) + a.shape[1:])
+
+
+class BaseVAE(nn.Module):
+    """Shared behavior for modality VAEs.
+
+    Subclasses define (as dataclass fields) ``latent_len``, ``latent_dim``,
+    ``llik_scaling`` and the distribution classes, and implement:
+
+      _enc_params(x, deterministic) -> (mu, scale)  each [B, L, D]
+      _dec_loc_scale(z_flat, x, K, deterministic) -> (loc, scale) flat [K*B, ...]
+    """
+
+    # -- prior -----------------------------------------------------------
+    def pz(self) -> Distribution:
+        """Standard prior over [latent_len, latent_dim] tokens.
+
+        The reference stores these as frozen parameters zeros/ones
+        (e.g. PhotometricVAE.py:146-149); they never train, so here they are
+        constants (scale = 1, despite the reference's 'logvar' comment).
+        """
+        shape = (self.latent_len, self.latent_dim)
+        return self.prior(jnp.zeros(shape), jnp.ones(shape))
+
+    # -- core ------------------------------------------------------------
+    def __call__(self, x, K: int = 1, deterministic: bool = True):
+        mu, scale = self._enc_params(x, deterministic)
+        qz_x = self.posterior(mu, scale)
+        zs = qz_x.sample(self.make_rng("sample"), (K,))
+        px_z = self.decode(zs, x, deterministic=deterministic)
+        return qz_x, px_z, zs
+
+    def encode(self, x, mean: bool = True):
+        """Posterior mean (or the full distribution). Always deterministic
+        (the reference flips eval mode: PhotometricVAE.py:179-186)."""
+        mu, scale = self._enc_params(x, True)
+        qz_x = self.posterior(mu, scale)
+        return qz_x.mean if mean else qz_x
+
+    def decode(self, zs: Array, x, deterministic: bool = True) -> Distribution:
+        """zs: [K, B, latent_len, latent_dim] → likelihood with batch [K, B, ...]."""
+        K, B = zs.shape[0], zs.shape[1]
+        z_flat = zs.reshape((K * B,) + zs.shape[2:])
+        loc, scale = self._dec_loc_scale(z_flat, x, K, deterministic)
+        loc = loc.reshape((K, B) + loc.shape[1:])
+        scale = scale.reshape((K, B) + scale.shape[1:])
+        return self.likelihood(loc, scale)
+
+    def reconstruct(self, x, K: int = 1) -> Array:
+        """Posterior-sample reconstructions: mean of p(x|z_k), [K, B, ...]."""
+        mu, scale = self._enc_params(x, True)
+        qz_x = self.posterior(mu, scale)
+        zs = qz_x.sample(self.make_rng("sample"), (K,))
+        return self.decode(zs, x, deterministic=True).mean
+
+    def generate(self, N: int, x) -> Array:
+        """Prior-sample generations conditioned on x's observation grids.
+
+        Samples z ~ p(z) of shape [N, B, L, D] (the corrected generalization
+        of SpectraVAE.py:198-206, which hardcodes batch 1; see also
+        mmVAE.py:108-118 which does exactly this). Returns [N, B, ...]."""
+        B = jax.tree_util.tree_leaves(x)[0].shape[0]
+        zs = self.pz().sample(self.make_rng("sample"), (N, B))
+        return self.decode(zs, x, deterministic=True).mean

@@ -1,0 +1,189 @@
+"""Training objectives: ELBO, m-ELBO, MoE-IWAE, InfoNCE.
+
+Capabilities mirrored from reference ``losses.py``:
+  * ``elbo``          (losses.py:16-24)  single-modality K-sample ELBO
+  * ``m_elbo``        (losses.py:27-44)  multimodal ELBO with cross-modal
+                       importance weights (implemented with the *intended*
+                       ``sum((-1,-2))`` — the reference's ``.sum((-1. -2))``
+                       at losses.py:41 is a float-literal typo)
+  * ``m_iwae``        (losses.py:47-93)  the exercised multimodal objective
+  * ``neg_info_nce``  (losses.py:98-110) symmetric InfoNCE (negated)
+
+All objectives return quantities to MAXIMIZE; the train step negates them
+(reference training_util.py:42). Reduction conventions are preserved exactly
+(``elbo``: mean over K·B; ``m_iwae``: log-mean-exp over the (modality·K) axis
+then SUM over batch) because they define the effective learning rate.
+
+The reference's ``compute_microbatch_split`` (losses.py:68-76) — a 12-GB-CUDA
+memory heuristic that chops the batch before ``_m_iwae`` — is intentionally
+dropped: on TPU the whole (K, B, M²-decode) graph is one XLA program and
+memory is managed by the compiler. ``m_iwae`` here == ``_m_iwae`` on the full
+batch; use gradient accumulation at the trainer level if a batch ever
+exceeds HBM.
+
+Model calls are routed through ``module.apply`` with explicit PRNG keys; pass
+``deterministic=False`` plus a key to enable dropout exactly where torch's
+train() mode would.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .distributions import kl_divergence, log_mean_exp
+
+Array = jax.Array
+
+
+def _rngs(key: Optional[Array], deterministic: bool):
+    if key is None:
+        raise ValueError("objectives need a PRNG key for posterior sampling")
+    k_sample, k_drop = jax.random.split(key)
+    rngs = {"sample": k_sample}
+    if not deterministic:
+        rngs["dropout"] = k_drop
+    return rngs
+
+
+def elbo(
+    model,
+    variables,
+    x,
+    K: int = 1,
+    *,
+    key: Array,
+    deterministic: bool = False,
+    debug: bool = False,
+):
+    """E[log p(x|z)]·llik_scaling − KL(q‖p), averaged over K and batch.
+
+    Reference math (losses.py:16-24): data expanded over K; log-lik flattened
+    to [K, B, -1] and summed over the grid; KL summed over both latent axes
+    and broadcast against [K, B].
+    """
+    qz_x, px_z, _ = model.apply(
+        variables, x, K, deterministic, rngs=_rngs(key, deterministic)
+    )
+    data = x[0]
+    lpx_z = px_z.log_prob(data[None])  # broadcast over K
+    kb = lpx_z.shape[:2]
+    lpx_z = lpx_z.reshape(kb + (-1,)) * model.total_llik_scaling
+    kld = kl_divergence(qz_x, model.pz())  # [B, L, D]
+    obj = (lpx_z.sum(-1) - kld.sum((-1, -2))[None, :]).mean()
+    if debug:
+        jax.debug.print(
+            "kl: {k}, llk: {l}",
+            k=kld.sum((-1, -2)).mean(),
+            l=-lpx_z.sum(-1).mean(),
+        )
+    return obj
+
+
+def m_elbo(model, variables, x, K: int = 1, *, key: Array, deterministic: bool = False):
+    """Multimodal ELBO with detached cross-modal importance weights.
+
+    Reference losses.py:27-44. Weights use stop_gradient on z (the torch
+    ``.detach()`` at losses.py:40) and on the source posterior log-prob.
+    """
+    qz_xs, px_zs, zss = model.apply(
+        variables, x, K, deterministic, rngs=_rngs(key, deterministic)
+    )
+    pz = model.pz()
+    scalings = model.llik_scalings
+    M = len(qz_xs)
+    lpx_zs, klds = [], []
+    for r, qz_x in enumerate(qz_xs):
+        klds.append(kl_divergence(qz_x, pz).sum((-1, -2)))  # [B]
+        for d in range(M):
+            lp = px_zs[d][d].log_prob(x[d][0][None])
+            lp = lp.reshape(lp.shape[:2] + (-1,)).sum(-1) * scalings[d]  # [K, B]
+            if d == r:
+                lwt = jnp.zeros(())
+            else:
+                zs = jax.lax.stop_gradient(zss[d])
+                lwt = (
+                    qz_x.log_prob(zs)
+                    - jax.lax.stop_gradient(qz_xs[d].log_prob(zs))
+                ).sum((-1, -2))  # [K, B]
+            lpx_zs.append(jnp.exp(lwt) * lp)
+    obj = (1.0 / M) * (
+        jnp.stack(lpx_zs).sum(0) - jnp.stack(klds).sum(0)[None, :]
+    )  # [K, B]
+    return obj.mean(0).sum()
+
+
+def m_iwae(model, variables, x, K: int = 1, *, key: Array, deterministic: bool = False):
+    """MoE-IWAE estimate of log p(x) for the multimodal VAE.
+
+    Reference losses.py:47-62,78-93. Per expert modality r:
+      lw_r = log p(z_r) + Σ_d log p_d(x_d | z_r)·scale_d − log (1/M)Σ_m q_m(z_r)
+    stacked over modalities into [(M·K), B], log-mean-exp over axis 0,
+    summed over batch.
+    """
+    qz_xs, px_zs, zss = model.apply(
+        variables, x, K, deterministic, rngs=_rngs(key, deterministic)
+    )
+    pz = model.pz()
+    scalings = model.llik_scalings
+    lws = []
+    for r in range(len(qz_xs)):
+        lpz = pz.log_prob(zss[r]).sum((-1, -2))  # [K, B]
+        lqz_x = log_mean_exp(
+            jnp.stack([qz.log_prob(zss[r]).sum((-1, -2)) for qz in qz_xs])
+        )  # mixture posterior over modalities → [K, B]
+        lpx_z_terms = []
+        for d, px_z in enumerate(px_zs[r]):
+            lp = px_z.log_prob(x[d][0][None])
+            lpx_z_terms.append(lp.reshape(lp.shape[:2] + (-1,)).sum(-1) * scalings[d])
+        lpx_z = jnp.stack(lpx_z_terms).sum(0)  # [K, B]
+        lws.append(lpz + lpx_z - lqz_x)
+    lw = jnp.concatenate(lws, axis=0)  # [(M·K), B]
+    return log_mean_exp(lw, axis=0).sum()
+
+
+def neg_info_nce(
+    model,
+    variables,
+    x,
+    temperature: float = 0.07,
+    *,
+    key: Optional[Array] = None,
+    deterministic: bool = False,
+):
+    """Negated symmetric InfoNCE over a two-tower model (losses.py:98-110).
+
+    Returns −(CE(logits, I) + CE(logitsᵀ, I))/2 — a maximization objective so
+    the trainer's global negation (training_util.py:42) minimizes the CE.
+    """
+    rngs = {}
+    if not deterministic:
+        if key is None:
+            raise ValueError("need a PRNG key for dropout when not deterministic")
+        rngs["dropout"] = key
+    z1, z2 = model.apply(variables, x, deterministic, rngs=rngs)
+    z1 = z1 / jnp.linalg.norm(z1, axis=-1, keepdims=True).clip(1e-12)
+    z2 = z2 / jnp.linalg.norm(z2, axis=-1, keepdims=True).clip(1e-12)
+    logits = z1 @ z2.T / temperature
+    labels = jnp.arange(z1.shape[0])
+    ce = optax.softmax_cross_entropy_with_integer_labels
+    return -(ce(logits, labels).mean() + ce(logits.T, labels).mean()) / 2.0
+
+
+def mse(model, variables, x, y, *, key: Optional[Array] = None, deterministic: bool = False):
+    """Negative MSE for regression heads (maximization convention).
+
+    The reference trains its regression heads with an inline
+    ``nn.MSELoss`` loop (photometry2goldstein_mmvae.py:69-88); this wraps the
+    same objective into the shared trainer interface.
+    """
+    rngs = {}
+    if not deterministic:
+        if key is None:
+            raise ValueError("need a PRNG key for dropout when not deterministic")
+        rngs["dropout"] = key
+    pred = model.apply(variables, x, deterministic, rngs=rngs)
+    return -jnp.mean((pred - y) ** 2)

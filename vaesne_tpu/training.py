@@ -1,0 +1,161 @@
+"""Training loop: one fused jitted train step + a minimal epoch driver.
+
+Capability mirrored from reference ``training_util.py:17-53`` — with the torch
+per-batch host→device copies, Python autograd step, and ``gc.collect()``
+memory hygiene replaced by the TPU-native shape: data lives device-resident,
+and encoder forward, K-sample decode fan-out, objective, grads, and the AdamW
+update all fuse into ONE compiled XLA program per step.
+
+Sign convention preserved exactly: objectives are maximization quantities and
+the step minimizes ``-objective`` (training_util.py:42), so reported losses
+are directly comparable with the reference's printed losses.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+Array = jax.Array
+# loss_fn(model, variables, batch, key) -> scalar objective (to maximize),
+# the JAX analog of the reference's `lambda model, x: m_iwae(model, x, K=K)`.
+LossFn = Callable[[Any, Any, Any, Array], Array]
+
+
+def adamw(lr: float, weight_decay: float = 1e-2, b1: float = 0.9, b2: float = 0.999,
+          eps: float = 1e-8) -> optax.GradientTransformation:
+    """AdamW with torch defaults (the reference's optimizer, e.g.
+    test_photospectra.py:135). Note optax's default weight_decay differs from
+    torch's 1e-2 — pinned here for parity."""
+    return optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+
+
+class TrainState(struct.PyTreeNode):
+    """Pure pytree of everything a step mutates: params, opt state, step, rng.
+
+    (The reference keeps optimizer state implicit in the torch object and
+    never checkpoints it — SURVEY §5.4; here it is first-class and saved.)
+    """
+
+    params: Any
+    opt_state: Any
+    step: Array
+    rng: Array
+
+    @classmethod
+    def create(cls, params, optimizer: optax.GradientTransformation, rng: Array):
+        return cls(
+            params=params,
+            opt_state=optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=rng,
+        )
+
+
+def init_model(model, x, key: Array, K: int = 1, has_sample_rng: bool = True):
+    """Initialize model parameters on an example batch."""
+    k_param, k_sample = jax.random.split(key)
+    rngs = {"params": k_param}
+    if has_sample_rng:
+        rngs["sample"] = k_sample
+        variables = model.init(rngs, x, K)
+    else:
+        variables = model.init(rngs, x)
+    return variables["params"]
+
+
+def make_train_step(model, optimizer: optax.GradientTransformation, loss_fn: LossFn):
+    """Build the fused train step: grads of -loss_fn + optax update, one jit.
+
+    Works unchanged on a sharded ``TrainState``/batch: under GSPMD the same
+    program runs data-parallel with gradient all-reduce over the mesh (see
+    ``vaesne_tpu.parallel``).
+    """
+
+    def step(state: TrainState, batch) -> Tuple[TrainState, Array]:
+        key, new_rng = jax.random.split(state.rng)
+
+        def neg_objective(params):
+            return -loss_fn(model, {"params": params}, batch, key)
+
+        loss, grads = jax.value_and_grad(neg_objective)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+            rng=new_rng,
+        )
+        return new_state, loss
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def epoch_batches(
+    key: Array,
+    data,
+    batch_size: int,
+    shuffle: bool = True,
+) -> Iterator[Any]:
+    """Yield fixed-shape minibatch pytrees from device-resident arrays.
+
+    The analog of the reference's DataLoader loop (training_util.py:36-41)
+    minus the per-batch host→device copy. The trailing remainder is dropped to
+    keep every step's shapes static (no XLA recompilation); with shuffling,
+    every sample is still visited in expectation.
+    """
+    n = jax.tree_util.tree_leaves(data)[0].shape[0]
+    steps = n // batch_size
+    if steps == 0:
+        raise ValueError(f"batch_size {batch_size} exceeds dataset size {n}")
+    if shuffle:
+        perm = jax.random.permutation(key, n)
+    else:
+        perm = jnp.arange(n)
+    for i in range(steps):
+        idx = perm[i * batch_size : (i + 1) * batch_size]
+        yield jax.tree_util.tree_map(lambda a: a[idx], data)
+
+
+def train_epoch(
+    state: TrainState,
+    step_fn,
+    data,
+    batch_size: int,
+    shuffle_key: Array,
+) -> Tuple[TrainState, float]:
+    """One epoch over ``data``; returns (state, mean loss) — the reference's
+    ``training_step`` contract (training_util.py:17-53)."""
+    total, count = 0.0, 0
+    for batch in epoch_batches(shuffle_key, data, batch_size):
+        state, loss = step_fn(state, batch)
+        total += float(loss)
+        count += 1
+    return state, total / max(count, 1)
+
+
+def fit(
+    state: TrainState,
+    step_fn,
+    data,
+    batch_size: int,
+    epochs: int,
+    key: Array,
+    callback: Optional[Callable[[int, TrainState, float], None]] = None,
+):
+    """Multi-epoch driver with an optional per-epoch callback (the analog of
+    the reference scripts' plotting/checkpoint blocks, e.g.
+    test_photospectra.py:141-154). Returns (state, losses list)."""
+    losses = []
+    for epoch in range(epochs):
+        key, sub = jax.random.split(key)
+        state, loss = train_epoch(state, step_fn, data, batch_size, sub)
+        losses.append(loss)
+        if callback is not None:
+            callback(epoch, state, loss)
+    return state, losses

@@ -1,0 +1,77 @@
+"""Checkpoint / resume: full-train-state pytree checkpoints via Orbax.
+
+The reference saves whole-module torch pickles every 5 epochs to a single
+filename with hyperparameters encoded in the name, and has no optimizer
+state, step counter, or resume path (SURVEY §5.4; test_photospectra.py:153).
+Here a checkpoint is the complete ``TrainState`` (params + optimizer state +
+step + RNG) plus a JSON-able config dict, so training resumes bit-exactly.
+The reference's name-encoding convention is kept as generated metadata for
+familiarity (``checkpoint_name``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from ..training import TrainState
+
+
+def checkpoint_name(
+    dataset: str,
+    model: str,
+    latent_len: int,
+    latent_dim: int,
+    lr: float,
+    epochs: int,
+    K: Optional[int] = None,
+    beta: Optional[float] = None,
+    model_dim: Optional[int] = None,
+    **extra,
+) -> str:
+    """Reference-style name:
+    ``{dataset}_{model}_{len}-{dim}_{lr}_{epochs}[_K{K}][_beta{β}][_modeldim{D}]...``
+    (test_photospectra.py:153, ZTF_photospect.py:137)."""
+    parts = [f"{dataset}_{model}_{latent_len}-{latent_dim}_{lr}_{epochs}"]
+    if K is not None:
+        parts.append(f"K{K}")
+    if beta is not None:
+        parts.append(f"beta{beta}")
+    if model_dim is not None:
+        parts.append(f"modeldim{model_dim}")
+    parts.extend(f"{k}{v}" for k, v in extra.items())
+    return "_".join(parts)
+
+
+def save_checkpoint(
+    path: str, state: TrainState, config: Optional[Dict[str, Any]] = None
+) -> None:
+    """Save the full train state (+ config JSON) to ``path`` (a directory)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "state"), state, force=True)
+    ckptr.wait_until_finished()
+    if config is not None:
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(config, f, indent=2, default=str)
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore into the structure of ``template`` (an abstract or concrete
+    TrainState with matching pytree structure/shapes)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
+    return ckptr.restore(os.path.join(path, "state"), abstract)
+
+
+def load_config(path: str) -> Optional[Dict[str, Any]]:
+    cfg = os.path.join(os.path.abspath(path), "config.json")
+    if not os.path.exists(cfg):
+        return None
+    with open(cfg) as f:
+        return json.load(f)

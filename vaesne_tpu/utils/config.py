@@ -1,0 +1,159 @@
+"""Experiment configuration: one dataclass per reference cannon script.
+
+The reference hardcodes hyperparameters as module-level constants in each
+driver script and additionally smuggles config through checkpoint filenames
+(SURVEY §5.6). Here every anchor configuration (BASELINE.md "Anchor
+configurations") is a frozen dataclass with CLI overrides via
+``parse_overrides`` — e.g. ``python -m ... lr=1e-3 epochs=50``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Shared transformer-VAE hyperparameters."""
+
+    latent_len: int = 4
+    latent_dim: int = 4
+    model_dim: int = 32
+    num_heads: int = 4
+    ff_dim: int = 32
+    num_layers: int = 4
+    dropout: float = 0.1
+    selfattn: bool = False
+    concat: bool = True
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 2.5e-4
+    epochs: int = 200
+    batch_size: int = 32
+    seed: int = 0
+    K: int = 1
+    beta: float = 1.0
+    save_every: int = 5  # reference checkpoints every 5 epochs
+    ckpt_dir: str = "./ckpt"
+    log_dir: str = "./logs"
+
+
+@dataclass(frozen=True)
+class PhotometryVAEConfig:
+    """Goldstein photometry VAE (test_photometry.py:55-70)."""
+
+    model: ModelConfig = field(default_factory=lambda: ModelConfig(
+        latent_len=4, latent_dim=2, model_dim=32, ff_dim=32))
+    train: TrainConfig = field(default_factory=lambda: TrainConfig(
+        lr=2.5e-4, epochs=200, batch_size=32, beta=0.5))
+    num_bands: int = 6
+
+
+@dataclass(frozen=True)
+class SpectraVAEConfig:
+    """Goldstein spectra VAE (test_spectra.py:57-77)."""
+
+    model: ModelConfig = field(default_factory=lambda: ModelConfig(
+        latent_len=4, latent_dim=4, model_dim=32, ff_dim=32))
+    train: TrainConfig = field(default_factory=lambda: TrainConfig(
+        lr=2.5e-4, epochs=200, batch_size=32, beta=1.0))
+
+
+@dataclass(frozen=True)
+class PhotoSpectraMMVAEConfig:
+    """Goldstein photo+spectra MoE-MMVAE — the flagship config
+    (test_photospectra.py:93-144)."""
+
+    model: ModelConfig = field(default_factory=lambda: ModelConfig(
+        latent_len=4, latent_dim=4, model_dim=32, ff_dim=32))
+    train: TrainConfig = field(default_factory=lambda: TrainConfig(
+        lr=1e-4, epochs=200, batch_size=16, K=2, beta=1.0))
+    num_bands: int = 6
+
+
+@dataclass(frozen=True)
+class ContrastiveConfig:
+    """Goldstein contrastive two-tower (test_photospectra_contrast.py:92-127)."""
+
+    model: ModelConfig = field(default_factory=lambda: ModelConfig(
+        latent_len=4, latent_dim=4, model_dim=32, ff_dim=32))
+    train: TrainConfig = field(default_factory=lambda: TrainConfig(
+        lr=2.5e-4, epochs=500, batch_size=32))
+    proj_dim: int = 8
+    temperature: float = 0.1
+    num_bands: int = 6
+
+
+@dataclass(frozen=True)
+class ZTFMMVAEConfig:
+    """ZTF photo+spectra MMVAE (ZTF_photospect.py:78-128)."""
+
+    model: ModelConfig = field(default_factory=lambda: ModelConfig(
+        latent_len=4, latent_dim=4, model_dim=32, ff_dim=32))
+    train: TrainConfig = field(default_factory=lambda: TrainConfig(
+        lr=1e-3, epochs=200, batch_size=32, K=8, beta=0.5))
+    num_bands: int = 2
+    repeat_factor: int = 10  # ZTF ×10 repeat augmentation
+
+
+@dataclass(frozen=True)
+class ImageVAEConfig:
+    """ZTF host-image VAE (test_ZTFimage.py:44-70) / MNIST smoke (mnist.py)."""
+
+    img_size: int = 60
+    patch_size: int = 2
+    in_channels: int = 3
+    hybrid: bool = True
+    focal_loc: bool = False
+    model: ModelConfig = field(default_factory=lambda: ModelConfig(
+        latent_len=4, latent_dim=4, model_dim=32, ff_dim=32))
+    train: TrainConfig = field(default_factory=lambda: TrainConfig(
+        lr=1e-3, epochs=150, batch_size=32, beta=0.5))
+    aug_factor: int = 5
+
+
+@dataclass(frozen=True)
+class RegressionConfig:
+    """Goldstein parameter regression (photometry2goldstein_*.py)."""
+
+    outdim: int = 4
+    mlp_hidden: Tuple[int, ...] = (128, 128, 128, 128)
+    train: TrainConfig = field(default_factory=lambda: TrainConfig(
+        lr=1e-3, epochs=100, batch_size=32))
+
+
+def parse_overrides(cfg, argv: Sequence[str]):
+    """Apply ``key=value`` / ``section.key=value`` CLI overrides to a
+    (nested) frozen dataclass, with type coercion from the field default."""
+    for arg in argv:
+        if "=" not in arg:
+            raise ValueError(f"override must be key=value, got {arg!r}")
+        dotted, raw = arg.split("=", 1)
+        cfg = _override(cfg, dotted.split("."), raw)
+    return cfg
+
+
+def _coerce(raw: str, current: Any) -> Any:
+    if isinstance(current, bool):
+        return raw.lower() in ("1", "true", "yes")
+    if isinstance(current, int):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    return raw
+
+
+def _override(cfg, path, raw):
+    name, rest = path[0], path[1:]
+    current = getattr(cfg, name)
+    if rest:
+        return dataclasses.replace(cfg, **{name: _override(current, rest, raw)})
+    return dataclasses.replace(cfg, **{name: _coerce(raw, current)})
+
+
+def asdict(cfg) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
