@@ -1,0 +1,99 @@
+"""Headline benchmark: flagship MoE-MMVAE training throughput (samples/sec).
+
+Measures the full fused m-IWAE train step (encoder forward for both
+modalities, K-sample posterior fan-out, the M x M cross-modal decode matrix,
+m-IWAE objective, backward, AdamW update — one compiled XLA program) on the
+flagship Goldstein photometry+spectra config (reference
+cannon/test_photospectra.py:93-144: latent 4x4, model_dim 32, m_iwae K=2).
+
+Baseline: the PyTorch reference running the identical model/objective on CPU
+(measured via scripts/measure_reference_baseline.py; the reference never
+recorded any throughput numbers itself — BASELINE.md). ``vs_baseline`` is
+the speedup ratio ours/reference per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# PyTorch reference, identical model+objective+shapes, 1 CPU host
+# (scripts/measure_reference_baseline.py, batch 16, K=2): samples/sec.
+REFERENCE_CPU_SAMPLES_PER_SEC = 0.40  # see BASELINE.md "measured" section
+
+B = 64           # TPU-native batch; per-sample work identical to reference
+K = 2
+LP, NS = 60, 982
+WARMUP_STEPS = 2
+TIMED_STEPS = 20
+
+
+def make_batch(B):
+    rng = np.random.default_rng(0)
+    photo = (
+        jnp.asarray(rng.normal(size=(B, LP)), jnp.float32),
+        jnp.asarray(np.sort(rng.uniform(-1, 1, (B, LP)), axis=1), jnp.float32),
+        jnp.asarray(rng.integers(0, 6, (B, LP)), jnp.int32),
+        jnp.asarray(rng.uniform(size=(B, LP)) < 0.2),
+    )
+    spec = (
+        jnp.asarray(rng.normal(size=(B, NS)), jnp.float32),
+        jnp.asarray(np.linspace(-1, 1, NS)[None].repeat(B, 0), jnp.float32),
+        jnp.asarray(rng.normal(size=(B,)), jnp.float32),
+        jnp.asarray(rng.uniform(size=(B, NS)) < 0.2),
+    )
+    return (photo, spec)
+
+
+def main():
+    from vaesne_tpu import objectives
+    from vaesne_tpu.models import PhotoSpecMMVAE, PhotometricVAE, SpectraVAE
+    from vaesne_tpu.training import TrainState, adamw, init_model, make_train_step
+
+    model = PhotoSpecMMVAE(
+        vaes=[
+            PhotometricVAE(num_bands=6, latent_len=4, latent_dim=4,
+                           model_dim=32, ff_dim=32),
+            SpectraVAE(latent_len=4, latent_dim=4, model_dim=32, ff_dim=32),
+        ],
+        beta=1.0,
+    )
+    batch = make_batch(B)
+    key = jax.random.PRNGKey(0)
+    params = init_model(model, batch, key, K=K)
+    opt = adamw(1e-4)
+    state = TrainState.create(params, opt, key)
+
+    def loss_fn(m, variables, b, k):
+        return objectives.m_iwae(m, variables, b, K=K, key=k,
+                                 deterministic=False)
+
+    step = make_train_step(model, opt, loss_fn)
+
+    for _ in range(WARMUP_STEPS):
+        state, loss = step(state, batch)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        state, loss = step(state, batch)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    sps = TIMED_STEPS * B / dt
+    print(json.dumps({
+        "metric": "mmvae_miwae_train_throughput",
+        "value": round(sps, 2),
+        "unit": "samples/sec",
+        "vs_baseline": round(sps / REFERENCE_CPU_SAMPLES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -75,7 +75,8 @@ def test_augment_photometry_global_time_shift(key):
     out = augment_photometry(key, photo)
     shift = np.asarray(out[1] - photo[1])
     # shift is constant within each curve (test_photospectra.py:76)
-    np.testing.assert_allclose(shift, shift[:, :1], atol=1e-6)
+    np.testing.assert_allclose(
+        shift, np.broadcast_to(shift[:, :1], shift.shape), atol=1e-6)
     assert shift.std() > 0
 
 
