@@ -27,7 +27,7 @@ import jax.numpy as jnp
 # (scripts/measure_reference_baseline.py, batch 16, K=2): samples/sec.
 REFERENCE_CPU_SAMPLES_PER_SEC = 0.40  # see BASELINE.md "measured" section
 
-B = 64           # TPU-native batch; per-sample work identical to reference
+B = 256          # TPU-native batch; per-sample work identical to reference
 K = 2
 LP, NS = 60, 982
 WARMUP_STEPS = 2

@@ -7,7 +7,9 @@ host-platform device-count override — the standard JAX analog of
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the session presets JAX_PLATFORMS (e.g. axon/TPU):
+# the suite depends on 8 virtual devices and fp32 determinism.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

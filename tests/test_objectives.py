@@ -124,7 +124,9 @@ def test_neg_info_nce_analytic():
     logits = np.eye(3) / 0.1
     p = np.exp(logits)
     ce = np.mean(np.log(p.sum(1)) - np.diag(logits))
-    np.testing.assert_allclose(float(val), -ce, rtol=1e-5)
+    # fp32 log-sum-exp minus the diagonal cancels almost exactly here (the
+    # aligned-pairs CE is ~1e-4), so allow absolute fp32 roundoff too
+    np.testing.assert_allclose(float(val), -ce, rtol=1e-2, atol=1e-6)
 
 
 def test_neg_info_nce_prefers_aligned():

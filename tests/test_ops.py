@@ -25,7 +25,7 @@ def _attn_inputs(key, B=2, H=2, Lq=4, Lk=16, Dh=8):
 
 def test_fused_attention_matches_reference(key):
     q, k, v, bias = _attn_inputs(key)
-    out = fused_attention(q, k, v, bias, True)
+    out = fused_attention(q, k, v, bias, 0.0, True)
     ref = attention_reference(q, k, v, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
@@ -34,7 +34,7 @@ def test_fused_attention_gradients_match(key):
     q, k, v, bias = _attn_inputs(key, B=1, H=2, Lq=3, Lk=8, Dh=4)
 
     def loss_fused(q, k, v):
-        return jnp.sum(fused_attention(q, k, v, bias, True) ** 2)
+        return jnp.sum(fused_attention(q, k, v, bias, 0.0, True) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(attention_reference(q, k, v, bias) ** 2)
@@ -48,7 +48,7 @@ def test_fused_attention_gradients_match(key):
 def test_fused_attention_fully_masked_rows_finite(key):
     q, k, v, _ = _attn_inputs(key, B=1, H=1, Lq=2, Lk=4)
     bias = jnp.full((1, 4), -1e9, jnp.float32)
-    out = fused_attention(q, k, v, bias, True)
+    out = fused_attention(q, k, v, bias, 0.0, True)
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
@@ -84,3 +84,24 @@ def test_masked_laplace_loglik_row_remainder(key):
     out = masked_laplace_loglik(loc, x, mask, 1e10, True)
     ref = masked_laplace_loglik_reference(loc, x, mask, 1e10)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+def test_fused_attention_query_tiling_edge(key):
+    """Lq > Q_TILE and not divisible by it: edge-tile rows must not pollute
+    dk/dv accumulation in the backward kernel."""
+    from vaesne_tpu.ops import attention as attn_mod
+    q, k, v, bias = _attn_inputs(key, B=1, H=1, Lq=attn_mod.Q_TILE + 44, Lk=64, Dh=8)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, bias, 0.0, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, bias) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(loss_fused(q, k, v)), np.asarray(loss_ref(q, k, v)), rtol=1e-5
+    )
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)

@@ -81,12 +81,16 @@ def test_train_step_mmvae_m_iwae(key, multimodal_batch):
                                  deterministic=True)
 
     step = make_train_step(model, opt, loss_fn)
+    # the step donates its input state's buffers — copy out anything that
+    # must be compared afterwards
+    rng0 = np.asarray(state.rng).copy()
     s1, l1 = step(state, multimodal_batch)
+    rng1 = np.asarray(s1.rng).copy()
     s2, l2 = step(s1, multimodal_batch)
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
     assert int(s2.step) == 2
     # rng advances so posterior samples differ between steps
-    assert not np.array_equal(np.asarray(s1.rng), np.asarray(state.rng))
+    assert not np.array_equal(rng1, rng0)
 
 
 def test_train_state_is_pytree(key):

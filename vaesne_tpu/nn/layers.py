@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import fused_attention, use_pallas
+
 Array = jax.Array
 
 LN_EPS = 1e-5  # torch nn.LayerNorm default
@@ -192,16 +194,40 @@ class MultiHeadAttention(nn.Module):
             return x.reshape(*x.shape[:-1], self.num_heads, hd)
 
         q, k, v = split(q), split(k), split(v)
-        logits = jnp.einsum("...qhd,...khd->...hqk", q, k) / math.sqrt(hd)
-        bias = _mask_bias(key_padding_mask, logits.dtype)
-        if bias is not None:
-            logits = logits + bias[..., None, None, :]
-        weights = jax.nn.softmax(logits, axis=-1)
-        if self.dropout > 0.0 and not deterministic:
-            weights = nn.Dropout(rate=self.dropout, name="attn_drop")(
-                weights, deterministic=False
-            )
-        out = jnp.einsum("...hqk,...khd->...qhd", weights, v)
+
+        rate = self.dropout if (self.dropout > 0.0 and not deterministic) else 0.0
+        if use_pallas() and q.ndim == 4:
+            # Fused Pallas path: softmax(QK^T+bias)V (+ in-kernel attention
+            # dropout) per (batch, head, q-tile) block — the [Lq, Lk]
+            # probability tensor never exists in HBM.
+            bias = _mask_bias(key_padding_mask, q.dtype)
+            if bias is None:
+                bias = jnp.zeros(k.shape[:2], q.dtype)  # [B, Lk]
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max
+                )
+            out = fused_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                bias,
+                rate,
+                False,
+                seed,
+            ).transpose(0, 2, 1, 3)
+        else:
+            logits = jnp.einsum("...qhd,...khd->...hqk", q, k) / math.sqrt(hd)
+            bias = _mask_bias(key_padding_mask, logits.dtype)
+            if bias is not None:
+                logits = logits + bias[..., None, None, :]
+            weights = jax.nn.softmax(logits, axis=-1)
+            if rate > 0.0:
+                weights = nn.Dropout(rate=rate, name="attn_drop")(
+                    weights, deterministic=False
+                )
+            out = jnp.einsum("...hqk,...khd->...qhd", weights, v)
         out = out.reshape(*out.shape[:-2], e)
         return nn.Dense(e, name="out_proj")(out)
 
@@ -280,6 +306,7 @@ class TransformerStack(nn.Module):
     num_layers: int
     dropout: float = 0.1
     context_self_attn: bool = False
+    remat: bool = True
 
     @nn.compact
     def __call__(
@@ -290,8 +317,17 @@ class TransformerStack(nn.Module):
         context_mask: Optional[Array] = None,
         deterministic: bool = True,
     ) -> Array:
+        # Rematerialize each block in the backward pass: per-layer attention/
+        # FFN activations over the 982-token grids dominate HBM at large
+        # K·B; recomputing them trades cheap FLOPs for the usual bottleneck
+        # (memory), raising the max batch per chip ~4x.
+        block_cls = (
+            nn.remat(TransformerBlock, static_argnums=(5,), prevent_cse=False)
+            if self.remat
+            else TransformerBlock
+        )
         for i in range(self.num_layers):
-            x = TransformerBlock(
+            x = block_cls(
                 self.embed_dim,
                 self.num_heads,
                 self.ff_dim,

@@ -7,6 +7,7 @@ hardware (small-model attention is fusion-bound, not MXU-bound).
 """
 
 from .attention import attention_reference, fused_attention
+from .dispatch import use_pallas
 from .laplace import masked_laplace_loglik, masked_laplace_loglik_reference
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "fused_attention",
     "masked_laplace_loglik",
     "masked_laplace_loglik_reference",
+    "use_pallas",
 ]

@@ -73,7 +73,9 @@ def _fwd_impl(loc, x, mask, big, interpret):
     return res[:, 0]
 
 
-def _vjp_fwd(big, interpret, loc, x, mask):
+def _vjp_fwd(loc, x, mask, big, interpret):
+    # NB: with nondiff_argnums, jax calls fwd with the PRIMAL signature
+    # (nondiff args in their original positions); only bwd gets them first.
     return _fwd_impl(loc, x, mask, big, interpret), (loc, x, mask)
 
 
