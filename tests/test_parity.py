@@ -1,0 +1,222 @@
+"""Golden parity vs the PyTorch reference (SURVEY §4: the reference is the
+test oracle).
+
+Builds the reference models with random torch weights, imports those exact
+weights through ``vaesne_tpu.utils.torch_port``, and checks encoder outputs,
+decoder outputs, likelihoods, KL, and the assembled ELBO agree to float
+tolerance on identical inputs (all deterministic: torch .eval() vs
+``deterministic=True``; sampling is bypassed by feeding both sides the same
+z). Skipped when the reference checkout is unavailable.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/package"
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+try:
+    from VAESNe.PhotometricVAE import PhotometricVAE as TorchPhotometricVAE
+    from VAESNe.SpectraVAE import SpectraVAE as TorchSpectraVAE
+    from VAESNe.mmVAE import photospecMMVAE as TorchPhotoSpecMMVAE
+except Exception:  # pragma: no cover - reference not mounted
+    pytest.skip("reference package unavailable", allow_module_level=True)
+
+import jax
+import jax.numpy as jnp
+
+from vaesne_tpu.distributions import Laplace, kl_divergence
+from vaesne_tpu.models import PhotometricVAE, PhotoSpecMMVAE, SpectraVAE
+from vaesne_tpu.utils.torch_port import (
+    convert_photometric_vae,
+    convert_photospec_mmvae,
+    convert_spectra_vae,
+)
+
+DIMS = dict(latent_len=3, latent_dim=4, model_dim=16, num_heads=2, ff_dim=16,
+            num_layers=2)
+B, LP, NS, BANDS = 3, 14, 25, 6
+
+
+@pytest.fixture(scope="module")
+def photo_pair():
+    torch.manual_seed(0)
+    t_model = TorchPhotometricVAE(num_bands=BANDS, **DIMS)
+    t_model.eval()
+    j_model = PhotometricVAE(num_bands=BANDS, **DIMS)
+    params = convert_photometric_vae(t_model.state_dict())
+    return t_model, j_model, {"params": params}
+
+
+@pytest.fixture(scope="module")
+def spec_pair():
+    torch.manual_seed(1)
+    t_model = TorchSpectraVAE(**DIMS)
+    t_model.eval()
+    j_model = SpectraVAE(**DIMS)
+    params = convert_spectra_vae(t_model.state_dict())
+    return t_model, j_model, {"params": params}
+
+
+def _photo_batch(seed=0):
+    rng = np.random.default_rng(seed)
+    flux = rng.normal(size=(B, LP)).astype(np.float32)
+    time = np.sort(rng.uniform(-1, 1, (B, LP))).astype(np.float32)
+    band = rng.integers(0, BANDS, (B, LP))
+    mask = rng.uniform(size=(B, LP)) < 0.25
+    return flux, time, band, mask
+
+
+def _spec_batch(seed=1):
+    rng = np.random.default_rng(seed)
+    flux = rng.normal(size=(B, NS)).astype(np.float32)
+    wl = np.tile(np.linspace(-1, 1, NS, dtype=np.float32), (B, 1))
+    phase = rng.normal(size=(B,)).astype(np.float32)
+    mask = rng.uniform(size=(B, NS)) < 0.25
+    return flux, wl, phase, mask
+
+
+def _t(x):
+    if x.dtype == bool:
+        return torch.tensor(x)
+    if np.issubdtype(x.dtype, np.integer):
+        return torch.tensor(x, dtype=torch.int64)
+    return torch.tensor(x, dtype=torch.float32)
+
+
+def _j(x):
+    if np.issubdtype(np.asarray(x).dtype, np.integer):
+        return jnp.asarray(x, jnp.int32)
+    return jnp.asarray(x)
+
+
+def test_photometric_encoder_parity(photo_pair):
+    t_model, j_model, variables = photo_pair
+    flux, time, band, mask = _photo_batch()
+    with torch.no_grad():
+        t_mu, t_var = t_model.enc(_t(flux), _t(time), _t(band), _t(mask))
+    qz = j_model.apply(variables, tuple(map(_j, (flux, time, band, mask))),
+                       method="encode", mean=False)
+    np.testing.assert_allclose(np.asarray(qz.loc), t_mu.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(qz.scale), t_var.numpy(), atol=1e-4)
+
+
+def test_photometric_decoder_parity(photo_pair):
+    t_model, j_model, variables = photo_pair
+    flux, time, band, mask = _photo_batch()
+    rng = np.random.default_rng(7)
+    z = rng.normal(size=(2, B, DIMS["latent_len"], DIMS["latent_dim"])).astype(
+        np.float32)
+    with torch.no_grad():
+        zt = _t(z.reshape(2 * B, *z.shape[2:]))
+        t_loc, t_scale = t_model.dec(
+            _t(time).repeat(2, 1), _t(band).repeat(2, 1), zt,
+            _t(mask).repeat(2, 1))
+    px = j_model.apply(variables, _j(z),
+                       tuple(map(_j, (flux, time, band, mask))), method="decode")
+    np.testing.assert_allclose(
+        np.asarray(px.mean).reshape(t_loc.shape), t_loc.numpy(), atol=1e-4)
+
+
+def test_spectra_encoder_parity(spec_pair):
+    t_model, j_model, variables = spec_pair
+    flux, wl, phase, mask = _spec_batch()
+    with torch.no_grad():
+        t_mu, t_var = t_model.enc(_t(flux), _t(wl), _t(phase), _t(mask))
+    qz = j_model.apply(variables, tuple(map(_j, (flux, wl, phase, mask))),
+                       method="encode", mean=False)
+    np.testing.assert_allclose(np.asarray(qz.loc), t_mu.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(qz.scale), t_var.numpy(), atol=1e-4)
+
+
+def test_spectra_decoder_parity(spec_pair):
+    t_model, j_model, variables = spec_pair
+    flux, wl, phase, mask = _spec_batch()
+    rng = np.random.default_rng(8)
+    z = rng.normal(size=(2, B, DIMS["latent_len"], DIMS["latent_dim"])).astype(
+        np.float32)
+    with torch.no_grad():
+        zt = _t(z.reshape(2 * B, *z.shape[2:]))
+        t_loc, t_scale = t_model.dec(
+            _t(wl).repeat(2, 1), _t(phase).repeat(2), zt, _t(mask).repeat(2, 1))
+    px = j_model.apply(variables, _j(z),
+                       tuple(map(_j, (flux, wl, phase, mask))), method="decode")
+    np.testing.assert_allclose(
+        np.asarray(px.mean).reshape(t_loc.shape), t_loc.numpy(), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(px.scale).reshape(t_scale.shape), t_scale.numpy(), rtol=1e-6)
+
+
+def test_elbo_parity_within_one_percent(photo_pair):
+    """Assembled deterministic ELBO (fixed z both sides) within 1% — the
+    BASELINE.md parity target, without sampling noise."""
+    t_model, j_model, variables = photo_pair
+    flux, time, band, mask = _photo_batch()
+    x_t = (_t(flux), _t(time), _t(band), _t(mask))
+    x_j = tuple(map(_j, (flux, time, band, mask)))
+    rng = np.random.default_rng(9)
+    K = 2
+    z = rng.normal(size=(K, B, DIMS["latent_len"], DIMS["latent_dim"])).astype(
+        np.float32)
+
+    # torch side: replicate losses.py:16-24 with fixed z
+    import torch.distributions as dist
+
+    with torch.no_grad():
+        t_mu, t_var = t_model.enc(*x_t)
+        qz_x = dist.Laplace(t_mu, t_var)
+        loc, scale = t_model.dec(
+            _t(time).repeat(K, 1), _t(band).repeat(K, 1),
+            _t(z.reshape(K * B, *z.shape[2:])), _t(mask).repeat(K, 1))
+        px_z = dist.Laplace(loc.reshape(K, B, -1), scale.reshape(K, B, -1))
+        lpx_z = (px_z.log_prob(_t(flux)[None].expand(K, B, LP))
+                 * t_model.llik_scaling).sum(-1)
+        kld = dist.kl_divergence(qz_x, dist.Laplace(*t_model.pz_params))
+        t_elbo = float((lpx_z - kld.sum((-1, -2))[None, :]).mean())
+
+    # jax side: same math through our modules
+    qz = j_model.apply(variables, x_j, method="encode", mean=False)
+    px = j_model.apply(variables, _j(z), x_j, method="decode")
+    lpx = px.log_prob(_j(flux)[None]).reshape(K, B, -1).sum(-1)
+    lpx = lpx * j_model.total_llik_scaling
+    kld_j = kl_divergence(qz, j_model.pz()).sum((-1, -2))
+    j_elbo = float((lpx - kld_j[None, :]).mean())
+
+    assert abs(j_elbo - t_elbo) <= 0.01 * abs(t_elbo), (j_elbo, t_elbo)
+    np.testing.assert_allclose(j_elbo, t_elbo, rtol=1e-4)
+
+
+def test_mmvae_cross_decode_parity():
+    torch.manual_seed(3)
+    t_photo = TorchPhotometricVAE(num_bands=BANDS, **DIMS)
+    t_spec = TorchSpectraVAE(**DIMS)
+    t_mm = TorchPhotoSpecMMVAE(vaes=[t_photo, t_spec], beta=1.0)
+    t_mm.eval()
+
+    j_mm = PhotoSpecMMVAE(
+        vaes=[PhotometricVAE(num_bands=BANDS, **DIMS), SpectraVAE(**DIMS)],
+        beta=1.0,
+    )
+    variables = {"params": convert_photospec_mmvae(t_mm.state_dict())}
+
+    photo = _photo_batch()
+    spec = _spec_batch()
+    rng = np.random.default_rng(11)
+    z = rng.normal(size=(1, B, DIMS["latent_len"], DIMS["latent_dim"])).astype(
+        np.float32)
+
+    with torch.no_grad():
+        # LC latents → spectra decoder (the mmVAE.py:101-104 off-diagonal)
+        sflux, swl, sphase, smask = map(_t, spec)
+        t_loc, _ = t_mm.vaes[1].dec(swl, sphase, _t(z.reshape(B, *z.shape[2:])),
+                                    smask)
+    j_px = j_mm.vaes[1].apply(
+        {"params": variables["params"]["vaes_1"]}, _j(z),
+        tuple(map(_j, spec)), method="decode")
+    np.testing.assert_allclose(
+        np.asarray(j_px.mean).reshape(t_loc.shape), t_loc.numpy(), atol=1e-4)

@@ -10,12 +10,15 @@ from .augment import (
 )
 from .goldstein import (
     denormalize,
+    get_goldstein_params,
+    goldstein_labels,
     load_npz,
     multimodal_tuple,
     photometry_tuple,
     spectra_tuple,
     train_test_split,
 )
+from .images import ImagePathDataset, image_tuple
 from .synthetic import (
     LSST_BANDS,
     PHOTOMETRY_LENGTH,
@@ -33,11 +36,15 @@ __all__ = [
     "augment_spectra",
     "repeat_dataset",
     "denormalize",
+    "get_goldstein_params",
+    "goldstein_labels",
     "load_npz",
     "multimodal_tuple",
     "photometry_tuple",
     "spectra_tuple",
     "train_test_split",
+    "ImagePathDataset",
+    "image_tuple",
     "make_goldstein_like",
     "make_images",
     "make_ztf_like",

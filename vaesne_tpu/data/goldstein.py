@@ -69,3 +69,27 @@ def denormalize(a, mean, std):
     """Undo standardization for metrics in physical units
     (spect_cond_LC.py:114-137 multiplies std and adds mean back)."""
     return a * std + mean
+
+
+import re
+
+_SCI_FLOAT = re.compile(r"[-+]?\d*\.\d+e[-+]?\d+")
+
+
+def get_goldstein_params(filename: str) -> np.ndarray:
+    """Parse the physical simulation parameters out of a Goldstein filename.
+
+    The reference smuggles the 4 Goldstein parameters through the data
+    filenames as scientific-notation floats and regex-parses them back
+    (data_util.py:76-79; used on ``data['identity']`` at
+    photometry2goldstein_mmvae.py:24-25)."""
+    return np.array([float(v) for v in _SCI_FLOAT.findall(str(filename))])
+
+
+def goldstein_labels(data: Dict[str, np.ndarray],
+                     idx: Optional[np.ndarray] = None) -> np.ndarray:
+    """[N, P] float32 label matrix parsed from ``data['identity']`` filenames,
+    with the reference's per-column standardization left to the caller
+    (photometry2goldstein_mmvae.py:36-40)."""
+    ids = data["identity"] if idx is None else data["identity"][idx]
+    return np.stack([get_goldstein_params(i) for i in ids]).astype(np.float32)

@@ -29,10 +29,10 @@ ZTF_BANDS = 2
 PHASES = np.array([-10.0, 0.0, 10.0, 20.0, 30.0])
 
 
-def _light_curve(rng, t, band, num_bands):
+def _light_curve(rng, t, band, num_bands, stretch_scale=1.0):
     """SN-Ia-like rise/decline pulse, band-dependent amplitude and stretch."""
     t0 = rng.normal(0.0, 5.0)
-    stretch = rng.uniform(8.0, 15.0)
+    stretch = rng.uniform(8.0, 15.0) * stretch_scale
     amp = 1.0 + 0.2 * rng.standard_normal(num_bands)
     color = np.linspace(-0.3, 0.3, num_bands)
     tt = (t - t0) / stretch
@@ -41,9 +41,10 @@ def _light_curve(rng, t, band, num_bands):
     return amp[band] * rise * decline + color[band] * 0.1
 
 
-def _spectrum(rng, wl_grid, phase):
+def _spectrum(rng, wl_grid, phase, temp=None):
     """Continuum + a few absorption features drifting with phase."""
-    temp = rng.uniform(0.6, 1.4)
+    if temp is None:
+        temp = rng.uniform(0.6, 1.4)
     cont = np.exp(-0.5 * ((wl_grid - 0.2 * temp) / (0.8 + 0.1 * phase / 30)) ** 2)
     spec = cont.copy()
     for _ in range(4):
@@ -81,13 +82,28 @@ def make_goldstein_like(
     phototime = np.zeros((n, photometry_length), np.float32)
     photomask = np.zeros((n, photometry_length), np.int8)
     photoband = np.zeros((n, photometry_length), np.int64)
-    identity = np.zeros(n, np.int64)
+    identity = np.empty(n, object)
+
+    # Per-event physical parameters, reference-filename encoded: the
+    # reference's ``identity`` holds Goldstein sim filenames whose 4
+    # scientific-notation floats are the regression labels
+    # (data_util.py:76-79). The synthetic params causally drive the curves so
+    # the regression task is learnable.
+    n_events = (n + 4) // 5
+    ev_mass = rng.uniform(0.8, 1.4, n_events)        # ~Chandrasekhar masses
+    ev_energy = rng.uniform(0.5, 2.0, n_events)      # 1e51 erg
+    ev_kinetic = rng.uniform(0.05, 0.5, n_events)    # 56Ni-ish fraction
+    ev_radius = rng.uniform(0.1, 3.0, n_events)      # 1e13 cm
 
     for i in range(n):
-        identity[i] = i // 5  # ~5 spectra per event like the eval harness
+        ev = i // 5  # ~5 spectra per event like the eval harness
+        identity[i] = (
+            f"goldstein_m{ev_mass[ev]:.4e}_e{ev_energy[ev]:.4e}"
+            f"_k{ev_kinetic[ev]:.4e}_r{ev_radius[ev]:.4e}.h5"
+        )
         p = PHASES[i % len(PHASES)] + rng.normal(0, 0.5)
         phase[i] = p
-        spec = _spectrum(rng, wl_grid, p)
+        spec = _spectrum(rng, wl_grid, p, temp=0.7 + 0.5 * ev_energy[ev])
         flux[i] = spec + noise * rng.standard_normal(spectrum_bins)
         # observed wavelength window (instrument coverage)
         lo, hi = sorted(rng.uniform(0, spectrum_bins, size=2).astype(int))
@@ -98,9 +114,9 @@ def make_goldstein_like(
 
         t = np.sort(rng.uniform(-30, 60, photometry_length))
         band = rng.integers(0, num_bands, photometry_length)
-        photoflux[i] = _light_curve(rng, t, band, num_bands) + noise * rng.standard_normal(
-            photometry_length
-        )
+        photoflux[i] = ev_mass[ev] * _light_curve(
+            rng, t, band, num_bands, stretch_scale=ev_radius[ev] * 0.3 + 0.9
+        ) + noise * rng.standard_normal(photometry_length)
         phototime[i] = t
         photoband[i] = band
         photomask[i] = (rng.uniform(size=photometry_length) < 0.8).astype(np.int8)

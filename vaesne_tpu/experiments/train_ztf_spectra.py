@@ -1,0 +1,69 @@
+"""Train the spectra-only VAE on real ZTF observations.
+
+Reference: cannon/ZTF_spectonly.py (x10 repeat augmentation + flux noise +
+5-10% random extra masking at :33-41, latent 4x4 beta=0.5 lr 1e-3 at
+:48-69). The reference script also passes a stale ``spectra_length`` kwarg
+that TypeErrors against its own package (ZTF_spectonly.py:57) — the intended
+config is reproduced here.
+
+Usage: python -m vaesne_tpu.experiments.train_ztf_spectra [data=/path.npz] [k=v ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+from .. import objectives
+from ..data import augment_spectra, repeat_dataset, spectra_tuple
+from ..models import SpectraVAE
+from ..utils.config import ModelConfig, TrainConfig, parse_overrides
+from .common import parse_cli, resolve_dataset, split_tuples, train_loop
+
+
+@dataclass(frozen=True)
+class ZTFSpectraConfig:
+    """ZTF spectra-only VAE (ZTF_spectonly.py:48-69)."""
+
+    model: ModelConfig = field(default_factory=lambda: ModelConfig(
+        latent_len=4, latent_dim=4, model_dim=32, ff_dim=32))
+    train: TrainConfig = field(default_factory=lambda: TrainConfig(
+        lr=1e-3, epochs=200, batch_size=32, beta=0.5))
+    repeat_factor: int = 10
+    extra_mask_prob: float = 0.075  # ZTF uses 5-10% (ZTF_spectonly.py:39)
+
+
+def main(argv=None):
+    data_path, rest = parse_cli(list(sys.argv[1:] if argv is None else argv))
+    cfg = parse_overrides(ZTFSpectraConfig(), rest)
+
+    data = resolve_dataset(data_path, "ztf", seed=cfg.train.seed)
+    train_data, _ = split_tuples(data, spectra_tuple)
+    train_data = repeat_dataset(train_data, cfg.repeat_factor)
+
+    m = cfg.model
+    model = SpectraVAE(
+        latent_len=m.latent_len, latent_dim=m.latent_dim, model_dim=m.model_dim,
+        num_heads=m.num_heads, ff_dim=m.ff_dim, num_layers=m.num_layers,
+        dropout=m.dropout, selfattn=m.selfattn, concat=m.concat,
+        beta=cfg.train.beta,
+    )
+
+    def loss_fn(mod, variables, batch, key):
+        return objectives.elbo(mod, variables, batch, K=cfg.train.K, key=key,
+                               deterministic=False)
+
+    def augment(key, batch):
+        return augment_spectra(key, batch, extra_mask_prob=cfg.extra_mask_prob)
+
+    state, losses = train_loop(
+        model, train_data, loss_fn, cfg.train, config=cfg,
+        augment_fn=augment,
+        ckpt_name=f"ztf_spectra_{m.latent_len}-{m.latent_dim}",
+    )
+    print(f"final loss: {losses[-1]:.6f}")
+    return state, losses
+
+
+if __name__ == "__main__":
+    main()

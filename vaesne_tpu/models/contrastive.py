@@ -75,8 +75,13 @@ class ContraPhotSpec(nn.Module):
         z1 = self.photometry_encoder(
             photo_flux, time, band, photo_mask, deterministic=deterministic
         )
+        # NB deliberate swap (see models/spectra.py:_enc_params): the
+        # reference feeds (flux, wavelength) positionally into
+        # spectraTransformerEncoder.forward(wavelength, flux, ...) — its
+        # exercised behavior routes wavelength through the linear path and
+        # flux through the sinusoid; reproduced for golden parity.
         z2 = self.spectra_encoder(
-            spec_flux, wavelength, phase, spec_mask, deterministic=deterministic
+            wavelength, spec_flux, phase, spec_mask, deterministic=deterministic
         )
         z1 = self.photo_proj(z1.reshape(z1.shape[0], -1))
         z2 = self.spectra_proj(z2.reshape(z2.shape[0], -1))
@@ -90,4 +95,5 @@ class ContraPhotSpec(nn.Module):
     def spectra_enc(self, x) -> Array:
         """Frozen-eval spectra tower embedding [B, latent_len, latent_dim]."""
         spec_flux, wavelength, phase, spec_mask = x
-        return self.spectra_encoder(spec_flux, wavelength, phase, spec_mask, deterministic=True)
+        # deliberate swap — see __call__
+        return self.spectra_encoder(wavelength, spec_flux, phase, spec_mask, deterministic=True)

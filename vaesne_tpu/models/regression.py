@@ -151,5 +151,7 @@ class SpecEnd2EndRegression(nn.Module):
 
     def __call__(self, x, deterministic: bool = True) -> Array:
         flux, wavelength, phase, mask = x
-        h = self.enc(flux, wavelength, phase, mask, deterministic=deterministic)
+        # deliberate swap — see models/spectra.py:_enc_params (parity with the
+        # reference's positional flux/wavelength transposition)
+        h = self.enc(wavelength, flux, phase, mask, deterministic=deterministic)
         return self.outfc(h.reshape(h.shape[0], -1))

@@ -76,7 +76,15 @@ class SpectraVAE(BaseVAE):
 
     def _enc_params(self, x, deterministic: bool) -> Tuple[Array, Array]:
         flux, wavelength, phase, mask = x
-        bottleneck = self.enc(flux, wavelength, phase, mask, deterministic=deterministic)
+        # NB deliberate swap: the reference's SpectraEnc passes
+        # (flux, wavelength, ...) positionally into
+        # spectraTransformerEncoder.forward(wavelength, flux, ...)
+        # (SpectraVAE.py:41-44 vs SpectraLayers.py:112-122), so its exercised
+        # behavior embeds WAVELENGTH through the linear flux path and FLUX
+        # through the sinusoidal wavelength path. Reproduced here for golden
+        # parity (tests/test_parity.py) — swap back for the 'intended'
+        # semantics.
+        bottleneck = self.enc(wavelength, flux, phase, mask, deterministic=deterministic)
         mu = bottleneck[:, : self.latent_len, :]
         scale = jax.nn.softplus(bottleneck[:, self.latent_len :, :])
         return mu, scale

@@ -19,7 +19,8 @@ from .config import (
     asdict,
     parse_overrides,
 )
-from .plotting import plot_loss_curve, plot_lsst_lc, plot_spectra_samples
+from .plotting import (plot_loss_curve, plot_lsst_lc, plot_metric_grid,
+                       plot_spectra_samples)
 
 __all__ = [
     "checkpoint_name",
@@ -38,6 +39,7 @@ __all__ = [
     "asdict",
     "parse_overrides",
     "plot_loss_curve",
+    "plot_metric_grid",
     "plot_lsst_lc",
     "plot_spectra_samples",
 ]

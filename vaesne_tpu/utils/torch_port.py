@@ -1,0 +1,198 @@
+"""Import PyTorch-reference weights into this framework's flax params.
+
+Enables golden-parity testing (and migration of user-trained reference
+models): a reference ``state_dict`` (from ``torch.save(model.state_dict())``
+or extracted from a whole-module pickle) converts into the exact flax param
+pytree of the corresponding ``vaesne_tpu`` model, so both frameworks compute
+the same function up to float arithmetic.
+
+Mapping rules (torch name → flax name, values transposed where layouts
+differ):
+  * ``nn.Linear``:  weight [out,in] → Dense ``kernel`` = weightᵀ, bias → bias
+  * ``nn.Embedding``: weight → Embed ``embedding``
+  * ``nn.LayerNorm``: weight/bias → scale/bias
+  * ``nn.MultiheadAttention``: packed ``in_proj_weight`` [3E,E] splits into
+    q/k/v Dense kernels (each transposed); ``out_proj`` as Linear
+  * reference ``MLP`` (Sequential ``mlp.{0,2,...}``) → ``hidden_i``/``out``
+  * reference ``singlelayerMLP`` (fc1, fc2) → same names
+  * reference ``SinusoidalMLPPositionalEmbedding`` (fc1, fc2) → same names
+  * ``TransformerBlock``: reference util_layers.py:257-309 → ``nn.layers``
+    block (self_attn, cross_attn, [context_self_attn], layernorm1/2/3,
+    ffn.0/ffn.2 → ffn_0/ffn_2)
+
+All converters take a flat ``{torch_name: np.ndarray}`` dict (call
+``numpy_state_dict`` on a torch state_dict first) and a name prefix.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+Flat = Dict[str, np.ndarray]
+
+
+def numpy_state_dict(state_dict) -> Flat:
+    """torch state_dict → {name: np.ndarray} (detached, on host)."""
+    return {k: np.asarray(v.detach().cpu().numpy()) for k, v in state_dict.items()}
+
+
+def _linear(sd: Flat, p: str):
+    return {"kernel": sd[f"{p}.weight"].T, "bias": sd[f"{p}.bias"]}
+
+
+def _layernorm(sd: Flat, p: str):
+    return {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}
+
+
+def _embedding(sd: Flat, p: str):
+    return {"embedding": sd[f"{p}.weight"]}
+
+
+def _mha(sd: Flat, p: str):
+    w = sd[f"{p}.in_proj_weight"]  # [3E, E]
+    b = sd[f"{p}.in_proj_bias"]  # [3E]
+    e = w.shape[1]
+    return {
+        "q_proj": {"kernel": w[:e].T, "bias": b[:e]},
+        "k_proj": {"kernel": w[e : 2 * e].T, "bias": b[e : 2 * e]},
+        "v_proj": {"kernel": w[2 * e :].T, "bias": b[2 * e :]},
+        "out_proj": _linear(sd, f"{p}.out_proj"),
+    }
+
+
+def _single_layer_mlp(sd: Flat, p: str):
+    return {"fc1": _linear(sd, f"{p}.fc1"), "fc2": _linear(sd, f"{p}.fc2")}
+
+
+def _sin_mlp_embedding(sd: Flat, p: str):
+    return {"fc1": _linear(sd, f"{p}.fc1"), "fc2": _linear(sd, f"{p}.fc2")}
+
+
+def _mlp(sd: Flat, p: str):
+    """Reference MLP: Sequential Linear/ReLU pairs + final Linear
+    (util_layers.py:20-34) → {hidden_i, out}."""
+    idxs = sorted(
+        {int(k[len(p) + 5 :].split(".")[0]) for k in sd if k.startswith(f"{p}.mlp.")}
+    )
+    out = {}
+    for n, i in enumerate(idxs[:-1]):
+        out[f"hidden_{n}"] = _linear(sd, f"{p}.mlp.{i}")
+    out["out"] = _linear(sd, f"{p}.mlp.{idxs[-1]}")
+    return out
+
+
+def _transformer_block(sd: Flat, p: str):
+    out = {
+        "self_attn": _mha(sd, f"{p}.self_attn"),
+        "cross_attn": _mha(sd, f"{p}.cross_attn"),
+        "layernorm1": _layernorm(sd, f"{p}.layernorm1"),
+        "layernorm2": _layernorm(sd, f"{p}.layernorm2"),
+        "layernorm3": _layernorm(sd, f"{p}.layernorm3"),
+        "ffn_0": _linear(sd, f"{p}.ffn.0"),
+        "ffn_2": _linear(sd, f"{p}.ffn.2"),
+    }
+    if f"{p}.context_self_attn.in_proj_weight" in sd:
+        out["context_self_attn"] = _mha(sd, f"{p}.context_self_attn")
+        out["layernorm_context"] = _layernorm(sd, f"{p}.layernorm_context")
+    return out
+
+
+def _blocks(sd: Flat, p: str):
+    n = len({k.split(".")[len(p.split("."))] for k in sd if k.startswith(f"{p}.")})
+    return {f"block_{i}": _transformer_block(sd, f"{p}.{i}") for i in range(n)}
+
+
+def convert_photometric_encoder(sd: Flat, p: str = "enc.inference_transformer"):
+    """photometricTransformerEncoder (PhotometricLayers.py:72-143) →
+    PhotometricTransformerEncoder params."""
+    out = {
+        "initbottleneck": sd[f"{p}.initbottleneck"],
+        "bottleneckfc": _single_layer_mlp(sd, f"{p}.bottleneckfc"),
+        "blocks": _blocks(sd, f"{p}.transformerblocks"),
+        "bandembd": _embedding(sd, f"{p}.bandembd"),
+        "fluxfc": _linear(sd, f"{p}.fluxfc"),
+    }
+    if f"{p}.time_embd.fc1.weight" in sd:  # concat=True → MLP time embedding
+        out["time_embd"] = _sin_mlp_embedding(sd, f"{p}.time_embd")
+        out["LCfc"] = _mlp(sd, f"{p}.LCfc")
+    return out
+
+
+def convert_photometric_decoder(sd: Flat, p: str = "dec.generativetransformer"):
+    """photometricTransformerDecoder (PhotometricLayers.py:10-69)."""
+    return {
+        "blocks": _blocks(sd, f"{p}.transformerblocks"),
+        "sinusoidal_time_embd": _sin_mlp_embedding(sd, f"{p}.sinusoidal_time_embd"),
+        "bandembd": _embedding(sd, f"{p}.bandembd"),
+        "contextfc": _mlp(sd, f"{p}.contextfc"),
+        "get_photo": _single_layer_mlp(sd, f"{p}.get_photo"),
+    }
+
+
+def convert_spectra_encoder(sd: Flat, p: str = "enc.inference_transformer"):
+    """spectraTransformerEncoder (SpectraLayers.py:66-139)."""
+    out = {
+        "initbottleneck": sd[f"{p}.initbottleneck"],
+        "bottleneckfc": _single_layer_mlp(sd, f"{p}.bottleneckfc"),
+        "blocks": _blocks(sd, f"{p}.transformerblocks"),
+        "flux_embd": _linear(sd, f"{p}.flux_embd"),
+        "phase_embd": _sin_mlp_embedding(sd, f"{p}.phase_embd_layer"),
+    }
+    if f"{p}.spectrafc.mlp.0.weight" in sd:  # concat=True
+        out["spectrafc"] = _mlp(sd, f"{p}.spectrafc")
+        # concat → plain sinusoidal wavelength embedding (no params)
+    else:
+        out["wavelength_embd"] = _sin_mlp_embedding(sd, f"{p}.wavelength_embd_layer")
+    return out
+
+
+def convert_spectra_decoder(sd: Flat, p: str = "dec.generativetransformer"):
+    """spectraTransformerDecoder (SpectraLayers.py:11-63)."""
+    return {
+        "blocks": _blocks(sd, f"{p}.transformerblocks"),
+        "wavelength_embd_layer": _sin_mlp_embedding(sd, f"{p}.wavelength_embd_layer"),
+        "phase_embd_layer": _sin_mlp_embedding(sd, f"{p}.phase_embd_layer"),
+        "contextfc": _mlp(sd, f"{p}.contextfc"),
+        "get_flux": _single_layer_mlp(sd, f"{p}.get_flux"),
+    }
+
+
+def convert_photometric_vae(state_dict) -> dict:
+    """Reference ``PhotometricVAE.state_dict()`` → flax params for
+    ``vaesne_tpu.models.PhotometricVAE``."""
+    sd = numpy_state_dict(state_dict) if not isinstance(state_dict, dict) or any(
+        not isinstance(v, np.ndarray) for v in state_dict.values()
+    ) else state_dict
+    return {
+        "enc": convert_photometric_encoder(sd),
+        "dec": convert_photometric_decoder(sd),
+    }
+
+
+def convert_spectra_vae(state_dict) -> dict:
+    """Reference ``SpectraVAE.state_dict()`` → flax params for
+    ``vaesne_tpu.models.SpectraVAE``."""
+    sd = numpy_state_dict(state_dict) if not isinstance(state_dict, dict) or any(
+        not isinstance(v, np.ndarray) for v in state_dict.values()
+    ) else state_dict
+    return {
+        "enc": convert_spectra_encoder(sd),
+        "dec": convert_spectra_decoder(sd),
+    }
+
+
+def convert_photospec_mmvae(state_dict) -> dict:
+    """Reference ``photospecMMVAE.state_dict()`` → flax params for
+    ``vaesne_tpu.models.PhotoSpecMMVAE`` (vaes.0 = photometry, vaes.1 =
+    spectra — mmVAE.py:71-84)."""
+    sd = numpy_state_dict(state_dict) if not isinstance(state_dict, dict) or any(
+        not isinstance(v, np.ndarray) for v in state_dict.values()
+    ) else state_dict
+    photo = {k[len("vaes.0."):]: v for k, v in sd.items() if k.startswith("vaes.0.")}
+    spec = {k[len("vaes.1."):]: v for k, v in sd.items() if k.startswith("vaes.1.")}
+    return {
+        "vaes_0": convert_photometric_vae(photo),
+        "vaes_1": convert_spectra_vae(spec),
+    }
