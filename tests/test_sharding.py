@@ -70,13 +70,15 @@ def test_data_parallel_step_matches_single_device(rng, key):
 
     step = make_train_step(model, opt, loss_fn)
 
+    # the step donates its input state's buffers, so state_b needs its OWN
+    # copies of the params (device_put of an already-placed array may alias)
     state_a = TrainState.create(params, opt, jax.random.PRNGKey(7))
-    _, loss_single = step(state_a, batch)
-
     mesh = make_mesh()
+    params_b = jax.tree_util.tree_map(jnp.array, params)
     state_b = replicate_state(
-        TrainState.create(params, opt, jax.random.PRNGKey(7)), mesh
+        TrainState.create(params_b, opt, jax.random.PRNGKey(7)), mesh
     )
+    _, loss_single = step(state_a, batch)
     sharded = shard_batch(batch, mesh)
     new_state, loss_sharded = step(state_b, sharded)
 

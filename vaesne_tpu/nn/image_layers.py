@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import (
+    compute_dtype,
     MLP,
     PatchEmbedding,
     SingleLayerMLP,
@@ -134,7 +135,7 @@ class HostImgTransformerDecoder(nn.Module):
         if self.mlpdecoder:
             h = MLP(self.in_channels, (self.model_dim,), name="decoder")(h)
         else:
-            h = nn.Dense(self.in_channels, name="decoder")(h)
+            h = nn.Dense(self.in_channels, dtype=compute_dtype(), name="decoder")(h)
         return h.reshape(b, self.img_size, self.img_size, self.in_channels)
 
 

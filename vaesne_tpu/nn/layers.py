@@ -29,6 +29,7 @@ Design notes (TPU):
 from __future__ import annotations
 
 import math
+import os
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -42,6 +43,19 @@ Array = jax.Array
 LN_EPS = 1e-5  # torch nn.LayerNorm default
 
 
+def compute_dtype():
+    """Computation dtype for matmuls/activations (params always fp32).
+
+    VAESNE_BF16=1 switches the forward/backward compute path to bfloat16 —
+    the TPU-native mixed precision: MXU throughput doubles and activation
+    HBM traffic halves while AdamW still updates fp32 master weights. Off by
+    default so golden-parity tests compare fp32 against the torch reference.
+    """
+    return (jnp.bfloat16
+            if os.environ.get("VAESNE_BF16", "0") not in ("0", "false", "False")
+            else None)
+
+
 class SingleLayerMLP(nn.Module):
     """fc(in→in) → ReLU → fc(in→out). Reference: util_layers.py:9-18."""
 
@@ -49,8 +63,9 @@ class SingleLayerMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.relu(nn.Dense(x.shape[-1], name="fc1")(x))
-        return nn.Dense(self.out_dim, name="fc2")(x)
+        dt = compute_dtype()
+        x = nn.relu(nn.Dense(x.shape[-1], dtype=dt, name="fc1")(x))
+        return nn.Dense(self.out_dim, dtype=dt, name="fc2")(x)
 
 
 class MLP(nn.Module):
@@ -61,9 +76,10 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        dt = compute_dtype()
         for i, h in enumerate(self.hidden_dim):
-            x = nn.relu(nn.Dense(h, name=f"hidden_{i}")(x))
-        return nn.Dense(self.out_dim, name="out")(x)
+            x = nn.relu(nn.Dense(h, dtype=dt, name=f"hidden_{i}")(x))
+        return nn.Dense(self.out_dim, dtype=dt, name="out")(x)
 
 
 def _div_term(dim: int, step: int) -> Array:
@@ -101,8 +117,9 @@ class SinusoidalMLPEmbedding(nn.Module):
         w = _div_term(self.dim, 1)
         ang = x[..., None] * w
         enc = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
-        enc = nn.relu(nn.Dense(self.dim, name="fc1")(enc))
-        return nn.Dense(self.dim, name="fc2")(enc)
+        dt = compute_dtype()
+        enc = nn.relu(nn.Dense(self.dim, dtype=dt, name="fc1")(enc))
+        return nn.Dense(self.dim, dtype=dt, name="fc2")(enc)
 
 
 def sinusoidal_embedding_2d(d_model: int, height: int, width: int) -> Array:
@@ -186,20 +203,19 @@ class MultiHeadAttention(nn.Module):
             raise ValueError(f"embed dim {e} not divisible by {self.num_heads} heads")
         hd = e // self.num_heads
 
-        q = nn.Dense(e, name="q_proj")(query)
-        k = nn.Dense(e, name="k_proj")(key)
-        v = nn.Dense(e, name="v_proj")(value)
-
-        def split(x):  # [B, L, E] → [B, L, H, hd]
-            return x.reshape(*x.shape[:-1], self.num_heads, hd)
-
-        q, k, v = split(q), split(k), split(v)
+        dt = compute_dtype()
+        q = nn.Dense(e, dtype=dt, name="q_proj")(query)
+        k = nn.Dense(e, dtype=dt, name="k_proj")(key)
+        v = nn.Dense(e, dtype=dt, name="v_proj")(value)
 
         rate = self.dropout if (self.dropout > 0.0 and not deterministic) else 0.0
-        if use_pallas() and q.ndim == 4:
+        if use_pallas() and q.ndim == 3:
             # Fused Pallas path: softmax(QK^T+bias)V (+ in-kernel attention
             # dropout) per (batch, head, q-tile) block — the [Lq, Lk]
-            # probability tensor never exists in HBM.
+            # probability tensor never exists in HBM. IO uses the packed
+            # transposed [B, E, L] layout (sequence on the 128-lane axis) so
+            # HBM operands carry ~no tile padding (a per-head [B,H,L,8]
+            # layout pads 8 lanes → 128: a 16x memory blowup).
             bias = _mask_bias(key_padding_mask, q.dtype)
             if bias is None:
                 bias = jnp.zeros(k.shape[:2], q.dtype)  # [B, Lk]
@@ -209,27 +225,33 @@ class MultiHeadAttention(nn.Module):
                     self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max
                 )
             out = fused_attention(
-                q.transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
+                q.transpose(0, 2, 1),
+                k.transpose(0, 2, 1),
+                v.transpose(0, 2, 1),
                 bias,
+                self.num_heads,
                 rate,
                 False,
                 seed,
-            ).transpose(0, 2, 1, 3)
-        else:
-            logits = jnp.einsum("...qhd,...khd->...hqk", q, k) / math.sqrt(hd)
-            bias = _mask_bias(key_padding_mask, logits.dtype)
-            if bias is not None:
-                logits = logits + bias[..., None, None, :]
-            weights = jax.nn.softmax(logits, axis=-1)
-            if rate > 0.0:
-                weights = nn.Dropout(rate=rate, name="attn_drop")(
-                    weights, deterministic=False
-                )
-            out = jnp.einsum("...hqk,...khd->...qhd", weights, v)
+            ).transpose(0, 2, 1)  # [B, Lq, E]
+            return nn.Dense(e, dtype=dt, name="out_proj")(out)
+
+        def split(x):  # [B, L, E] → [B, L, H, hd]
+            return x.reshape(*x.shape[:-1], self.num_heads, hd)
+
+        q, k, v = split(q), split(k), split(v)
+        logits = jnp.einsum("...qhd,...khd->...hqk", q, k) / math.sqrt(hd)
+        bias = _mask_bias(key_padding_mask, logits.dtype)
+        if bias is not None:
+            logits = logits + bias[..., None, None, :]
+        weights = jax.nn.softmax(logits, axis=-1)
+        if rate > 0.0:
+            weights = nn.Dropout(rate=rate, name="attn_drop")(
+                weights, deterministic=False
+            )
+        out = jnp.einsum("...hqk,...khd->...qhd", weights, v)
         out = out.reshape(*out.shape[:-2], e)
-        return nn.Dense(e, name="out_proj")(out)
+        return nn.Dense(e, dtype=dt, name="out_proj")(out)
 
 
 class TransformerBlock(nn.Module):
@@ -258,11 +280,12 @@ class TransformerBlock(nn.Module):
         deterministic: bool = True,
     ) -> Array:
         drop = nn.Dropout(rate=self.dropout)
+        dt = compute_dtype()
 
         attn = MultiHeadAttention(self.num_heads, self.dropout, name="self_attn")(
             x, x, x, key_padding_mask=mask, deterministic=deterministic
         )
-        x = nn.LayerNorm(epsilon=LN_EPS, name="layernorm1")(
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=dt, name="layernorm1")(
             x + drop(attn, deterministic=deterministic)
         )
 
@@ -272,21 +295,21 @@ class TransformerBlock(nn.Module):
                     self.num_heads, self.dropout, name="context_self_attn"
                 )(context, context, context, key_padding_mask=context_mask,
                   deterministic=deterministic)
-                context = nn.LayerNorm(epsilon=LN_EPS, name="layernorm_context")(
+                context = nn.LayerNorm(epsilon=LN_EPS, dtype=dt, name="layernorm_context")(
                     context + drop(ctx_attn, deterministic=deterministic)
                 )
             cross = MultiHeadAttention(self.num_heads, self.dropout, name="cross_attn")(
                 x, context, context, key_padding_mask=context_mask,
                 deterministic=deterministic,
             )
-            x = nn.LayerNorm(epsilon=LN_EPS, name="layernorm2")(
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=dt, name="layernorm2")(
                 x + drop(cross, deterministic=deterministic)
             )
 
-        h = nn.Dense(self.ff_dim, name="ffn_0")(x)
+        h = nn.Dense(self.ff_dim, dtype=dt, name="ffn_0")(x)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.embed_dim, name="ffn_2")(h)
-        x = nn.LayerNorm(epsilon=LN_EPS, name="layernorm3")(
+        h = nn.Dense(self.embed_dim, dtype=dt, name="ffn_2")(h)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=dt, name="layernorm3")(
             x + drop(h, deterministic=deterministic)
         )
         return x
@@ -306,7 +329,8 @@ class TransformerStack(nn.Module):
     num_layers: int
     dropout: float = 0.1
     context_self_attn: bool = False
-    remat: bool = True
+    # VAESNE_REMAT=0 disables block rematerialization (for memory profiling)
+    remat: bool = os.environ.get("VAESNE_REMAT", "1") != "0"
 
     @nn.compact
     def __call__(

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import (
+    compute_dtype,
     MLP,
     SingleLayerMLP,
     SinusoidalEmbedding,
@@ -60,8 +61,8 @@ class PhotometricTransformerEncoder(nn.Module):
         mask: Optional[Array] = None,  # [B, L] bool, True == missing
         deterministic: bool = True,
     ) -> Array:
-        band_embd = nn.Embed(self.num_bands, self.model_dim, name="bandembd")(band)
-        flux_embd = nn.Dense(self.model_dim, name="fluxfc")(flux[..., None])
+        band_embd = nn.Embed(self.num_bands, self.model_dim, dtype=compute_dtype(), name="bandembd")(band)
+        flux_embd = nn.Dense(self.model_dim, dtype=compute_dtype(), name="fluxfc")(flux[..., None])
         if self.concat:
             time_embd = SinusoidalMLPEmbedding(self.model_dim, name="time_embd")(time)
             tokens = MLP(self.model_dim, (self.model_dim,), name="LCfc")(
@@ -121,7 +122,7 @@ class PhotometricTransformerDecoder(nn.Module):
         if self.donotmask:
             mask = None
         time_embd = SinusoidalMLPEmbedding(self.model_dim, name="sinusoidal_time_embd")(time)
-        band_embd = nn.Embed(self.num_bands, self.model_dim, name="bandembd")(band)
+        band_embd = nn.Embed(self.num_bands, self.model_dim, dtype=compute_dtype(), name="bandembd")(band)
         x = time_embd + band_embd
         context = MLP(self.model_dim, (self.model_dim,), name="contextfc")(bottleneck)
         h = TransformerStack(

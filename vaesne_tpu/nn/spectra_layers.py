@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import (
+    compute_dtype,
     MLP,
     SingleLayerMLP,
     SinusoidalEmbedding,
@@ -61,7 +62,7 @@ class SpectraTransformerEncoder(nn.Module):
         mask: Optional[Array] = None,  # [B, N] bool, True == missing
         deterministic: bool = True,
     ) -> Array:
-        flux_lin = nn.Dense(self.model_dim, name="flux_embd")(flux[..., None])
+        flux_lin = nn.Dense(self.model_dim, dtype=compute_dtype(), name="flux_embd")(flux[..., None])
         if self.concat:
             wl_embd = SinusoidalEmbedding(self.model_dim, name="wavelength_embd")(wavelength)
             tokens = MLP(self.model_dim, (self.model_dim,), name="spectrafc")(

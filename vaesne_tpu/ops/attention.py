@@ -5,27 +5,28 @@ grids (bottleneck 8-16 queries x 983-token spectra context; 982x982 decoder
 self-attention; 60-point light curves) with a key-padding mask
 (util_layers.py:289-302 in the reference, via nn.MultiheadAttention).
 
-The XLA lowering materializes the [B, H, Lq, Lk] logits and probability
-tensors in HBM for the larger grids — at the flagship bench config
-(K*B=1024, H=4, Lq=Lk=982) that is a 7.7 GB bf16 temp, an HBM OOM on one
-v5e chip. This kernel keeps the whole softmax(QK^T*scale + maskbias)V
-pipeline for one (batch, head, query-tile) block resident in VMEM:
-HBM traffic = Q + K + V + O only, and peak memory is independent of Lq*Lk.
+Two TPU memory problems shape this kernel:
 
-Layout: inputs are pre-projected per-head tensors
-  q [B, H, Lq, Dh], k [B, H, Lk, Dh], v [B, H, Lk, Dh], bias [B, Lk]
-(bias = 0 or -1e9, already converted from the boolean key-padding mask).
-Grid = (B, H, cdiv(Lq, Q_TILE)); the query axis is tiled so backward-pass
-temps (s, p, dp, ds: 4 x Q_TILE x Lk fp32) stay far under the 16 MB VMEM
-budget even at Lq = Lk = 982.
+1. The XLA lowering materializes the [B, H, Lq, Lk] logits/probability
+   tensors in HBM for the larger grids — 7.7 GB bf16 at the flagship bench
+   config (K*B=1024, H=4, Lq=Lk=982). The kernel keeps the whole
+   softmax(QK^T*scale + maskbias)V pipeline for one (batch, head,
+   query-tile) block in VMEM: HBM traffic = Q + K + V + O only.
+
+2. TPU HBM arrays are tiled (last dim -> 128 lanes), so a per-head
+   [B, H, L, Dh=8] operand layout pads 8 -> 128: a 16x memory blowup on
+   every kernel operand (observed: 122 MB of data occupying 1.92 GB). IO
+   therefore uses the PACKED TRANSPOSED layout [B, E, L] (E = H*Dh = embed
+   dim): the last dim is the sequence (982 -> 1024, ~4% padding) and each
+   head is an E-axis slice selected by the grid's head dimension — no
+   [B, H, L, Dh] tensor ever exists.
 
 Attention-weight dropout (torch nn.MultiheadAttention semantics: dropout on
-the post-softmax probabilities, train mode only) runs *inside* the kernel via
-the per-core PRNG (pltpu.prng_seed / prng_random_bits), so the [Lq, Lk]
-dropout mask never exists in HBM either. The backward kernel reseeds with the
-same per-block seed and regenerates bit-identical masks (flash-attention
-style rematerialization): no residual tensor of size Lq*Lk in either
-direction.
+post-softmax probabilities, train mode only) runs inside the kernel via the
+per-core PRNG (pltpu.prng_seed / prng_random_bits); the backward kernel
+reseeds with the same per-block seed and regenerates bit-identical masks
+(flash-attention style rematerialization), so no Lq*Lk-sized tensor hits HBM
+in either direction.
 """
 
 from __future__ import annotations
@@ -44,10 +45,10 @@ Q_TILE = 256
 
 
 def _q_tile(lq: int) -> int:
-    """Adaptive query tile: full (8-aligned) length for short grids — the
-    bottleneck towers have 8-16 queries and must not pad to 256 rows — and
-    Q_TILE rows for the long 982-token decoder grids."""
-    return min(Q_TILE, max(8, -(-lq // 8) * 8))
+    """Adaptive query tile: the query axis is a LANE axis in the packed
+    layout, so tiles are 128-aligned; Q_TILE caps the backward-pass VMEM
+    temps on the long 982-token decoder grids."""
+    return min(Q_TILE, max(128, -(-lq // 128) * 128))
 
 
 def _dropout_mask(seed_ref, shape, rate):
@@ -64,49 +65,54 @@ def _dropout_mask(seed_ref, shape, rate):
     return bits >= threshold
 
 
-def _row_validity(lq, qt):
-    """Boolean [qt, 1]: which rows of this query tile are in range.
+def _valid_mask(lq, qt, shape, axis):
+    """Full-shape boolean mask: True where the query position along ``axis``
+    is within range. Built at the consumer's exact shape (no broadcasting of
+    sub-shaped boolean vectors — Mosaic cannot relayout replicated i1 dims
+    under bf16).
 
-    Edge tiles (Lq % qt != 0) contain padding rows whose contents are
-    undefined; they are discarded on output write automatically but MUST be
-    masked out of the dk/dv accumulations in the backward kernel.
-    """
+    Edge tiles (and the 128-alignment padding of short grids) contain
+    out-of-range query positions whose q/do data is undefined; their
+    contributions MUST be zeroed out of the dk/dv accumulations."""
     t = pl.program_id(2)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (qt, 1), 0)
-    return rows + t * qt < lq
+    pos = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+    return pos + t * qt < lq
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, rate, lq, qt):
-    q = q_ref[0, 0]  # [qt, Dh]
-    k = k_ref[0, 0]  # [Lk, Dh]
-    v = v_ref[0, 0]
+    q = q_ref[0]  # [Dh, qt]   (packed-transposed layout)
+    k = k_ref[0]  # [Dh, Lk]
+    v = v_ref[0]
     bias = bias_ref[0, 0]  # [Lk]
-    dh = q.shape[-1]
+    dh = q.shape[0]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (1.0 / math.sqrt(dh))
+        q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (1.0 / math.sqrt(dh))  # [qt, Lk]
     s = s + bias[None, :]
     p = jax.nn.softmax(s, axis=-1)
     if rate > 0.0:
         keep = _dropout_mask(seed_ref, p.shape, rate)
         p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - rate))
-    o_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # o [Dh, qt] = v [Dh, Lk] @ p^T [Lk, qt]
+    o_ref[0] = jax.lax.dot_general(
+        v, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, rate, lq, qt):
-    valid = _row_validity(lq, qt)
-    # Padding rows of edge tiles hold undefined data (can be NaN/inf): zero
-    # them at load so 0-weighted contributions stay 0 (0*NaN == NaN).
-    q = jnp.where(valid, q_ref[0, 0], 0.0)
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
+    # q/do columns beyond lq hold undefined data (can be NaN/inf): zero at
+    # load so 0-weighted contributions stay 0 (0*NaN == NaN).
+    vcol = _valid_mask(lq, qt, q_ref[0].shape, 1)  # [Dh, qt]
+    q = jnp.where(vcol, q_ref[0], 0.0)
+    k = k_ref[0]
+    v = v_ref[0]
     bias = bias_ref[0, 0]
-    do = jnp.where(valid, do_ref[0, 0], 0.0)
-    dh = q.shape[-1]
+    do = jnp.where(vcol, do_ref[0], 0.0)
+    dh = q.shape[0]
     scale = 1.0 / math.sqrt(dh)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     s = s + bias[None, :]
     p = jax.nn.softmax(s, axis=-1)  # recomputed, [qt, Lk]
@@ -116,61 +122,68 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         p_drop = jnp.where(keep, p, 0.0) * inv
     else:
         p_drop = p
-    # out = p_drop @ v; padding rows carry undefined q/do — zero their
-    # contribution to the k/v accumulations.
-    p_acc = jnp.where(valid, p_drop, 0.0)
+    vrow = _valid_mask(lq, qt, p.shape, 0)  # [qt, Lk]
+    p_acc = jnp.where(vrow, p_drop, 0.0)
+    # dp_drop [qt, Lk] = do^T v  (contract Dh)
     dp_drop = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [Q_TILE, Lk]
+        do, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
     if rate > 0.0:
         dp = jnp.where(keep, dp_drop, 0.0) * inv
     else:
         dp = dp_drop
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
-    ds = jnp.where(valid, ds, 0.0)
-    dq_ref[0, 0] = jnp.dot(ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    ds = jnp.where(vrow, ds, 0.0)
+    # dq [Dh, qt] = k @ ds^T
+    dq_ref[0] = jax.lax.dot_general(
+        k, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
 
     t = pl.program_id(2)
 
     @pl.when(t == 0)
     def _():
-        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
-        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    dk_ref[0, 0] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    # dk [Dh, Lk] = q @ ds ; dv [Dh, Lk] = do @ p_acc
+    dk_ref[0] += jax.lax.dot_general(
+        q, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dk_ref.dtype)
-    dv_ref[0, 0] += jax.lax.dot_general(
-        p_acc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    dv_ref[0] += jax.lax.dot_general(
+        do, p_acc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dv_ref.dtype)
 
 
-def _specs(Lk, Dh, qt):
-    qspec = pl.BlockSpec((1, 1, qt, Dh), lambda b, h, t: (b, h, t, 0),
+def _specs(dh, Lk, qt):
+    # E-axis block = one head (Dh rows); sequence whole (k/v) or tiled (q)
+    qspec = pl.BlockSpec((1, dh, qt), lambda b, h, t: (b, h, t),
                          memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, 1, Lk, Dh), lambda b, h, t: (b, h, 0, 0),
+    kspec = pl.BlockSpec((1, dh, Lk), lambda b, h, t: (b, h, 0),
                          memory_space=pltpu.VMEM)
-    # bias travels as [B, 1, Lk]: a (1, 1, Lk) block keeps the last two
-    # dims equal to the array dims (TPU block-shape rule).
+    # bias travels as [B, 1, Lk] so its last two block dims match array dims
     bspec = pl.BlockSpec((1, 1, Lk), lambda b, h, t: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     return qspec, kspec, bspec, sspec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_attention(q: Array, k: Array, v: Array, bias: Array,
+                    num_heads: int,
                     dropout_rate: float = 0.0,
                     interpret: bool = False,
                     seed: Array | None = None) -> Array:
-    """softmax(q k^T / sqrt(Dh) + bias) v, fused per (batch, head, q-tile).
+    """Per-head softmax(q_h^T k_h / sqrt(Dh) + bias) applied to v_h, fused.
 
-    q: [B, H, Lq, Dh]; k, v: [B, H, Lk, Dh]; bias: [B, Lk] additive logit
-    bias (0 for visible keys, -1e9 for masked). ``dropout_rate`` > 0 applies
-    attention-weight dropout inside the kernel (requires ``seed``, an int32
-    scalar array; same seed -> same mask). Returns [B, H, Lq, Dh].
+    PACKED TRANSPOSED layout: q [B, E, Lq]; k, v [B, E, Lk] with
+    E = num_heads * Dh (head h occupies rows h*Dh:(h+1)*Dh); bias [B, Lk]
+    additive logit bias (0 visible, -1e9 masked). Returns [B, E, Lq].
+    ``dropout_rate`` > 0 applies attention-weight dropout inside the kernel
+    (requires ``seed``, an int32 scalar; same seed -> same mask).
     """
-    return _attention_fwd_impl(q, k, v, bias, dropout_rate, interpret, seed)
+    return _attention_fwd_impl(q, k, v, bias, num_heads, dropout_rate,
+                               interpret, seed)
 
 
 def _seed_arr(seed):
@@ -179,18 +192,21 @@ def _seed_arr(seed):
     return jnp.asarray(seed, jnp.int32).reshape((1,))
 
 
-def _attention_fwd_impl(q, k, v, bias, rate, interpret, seed):
+def _attention_fwd_impl(q, k, v, bias, num_heads, rate, interpret, seed):
     if rate > 0.0 and seed is None:
         raise ValueError("fused_attention: dropout_rate > 0 requires a seed")
-    B, H, Lq, Dh = q.shape
+    B, E, Lq = q.shape
     Lk = k.shape[2]
+    if E % num_heads != 0:
+        raise ValueError(f"E={E} not divisible by num_heads={num_heads}")
+    dh = E // num_heads
     qt = _q_tile(Lq)
     n_tiles = pl.cdiv(Lq, qt)
-    qspec, kspec, bspec, sspec = _specs(Lk, Dh, qt)
+    qspec, kspec, bspec, sspec = _specs(dh, Lk, qt)
     kernel = functools.partial(_fwd_kernel, rate=rate, lq=Lq, qt=qt)
     return pl.pallas_call(
         kernel,
-        grid=(B, H, n_tiles),
+        grid=(B, num_heads, n_tiles),
         in_specs=[sspec, qspec, kspec, kspec, bspec],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -198,24 +214,25 @@ def _attention_fwd_impl(q, k, v, bias, rate, interpret, seed):
     )(_seed_arr(seed), q, k, v, bias[:, None, :])
 
 
-def _attention_fwd(q, k, v, bias, rate, interpret, seed):
+def _attention_fwd(q, k, v, bias, num_heads, rate, interpret, seed):
     # NB: with nondiff_argnums, jax calls fwd with the PRIMAL signature
     # (nondiff args in their original positions); only bwd gets them first.
-    out = _attention_fwd_impl(q, k, v, bias, rate, interpret, seed)
+    out = _attention_fwd_impl(q, k, v, bias, num_heads, rate, interpret, seed)
     return out, (q, k, v, bias, seed)
 
 
-def _attention_bwd(rate, interpret, res, do):
+def _attention_bwd(num_heads, rate, interpret, res, do):
     q, k, v, bias, seed = res
-    B, H, Lq, Dh = q.shape
+    B, E, Lq = q.shape
     Lk = k.shape[2]
+    dh = E // num_heads
     qt = _q_tile(Lq)
     n_tiles = pl.cdiv(Lq, qt)
-    qspec, kspec, bspec, sspec = _specs(Lk, Dh, qt)
+    qspec, kspec, bspec, sspec = _specs(dh, Lk, qt)
     kernel = functools.partial(_bwd_kernel, rate=rate, lq=Lq, qt=qt)
     dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(B, H, n_tiles),
+        grid=(B, num_heads, n_tiles),
         in_specs=[sspec, qspec, kspec, kspec, bspec, qspec],
         out_specs=(qspec, kspec, kspec),
         out_shape=(
@@ -228,14 +245,28 @@ def _attention_bwd(rate, interpret, res, do):
     return dq, dk, dv, jnp.zeros_like(bias), None
 
 
-# custom_vjp with nondiff_argnums: the nondiff args are passed first to fwd/bwd
+# custom_vjp with nondiff_argnums: bwd receives the nondiff args first
 fused_attention.defvjp(_attention_fwd, _attention_bwd)
 
 
 def attention_reference(q, k, v, bias):
-    """Pure-XLA reference implementation (same math, unfused, no dropout)."""
+    """Pure-XLA reference implementation over [B, H, L, Dh] tensors (same
+    math, unfused, no dropout)."""
     dh = q.shape[-1]
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dh)
     s = s + bias[:, None, None, :]
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+def pack_heads(x: Array) -> Array:
+    """[B, H, L, Dh] -> packed-transposed [B, H*Dh, L] (test/debug helper)."""
+    B, H, L, Dh = x.shape
+    return x.transpose(0, 1, 3, 2).reshape(B, H * Dh, L)
+
+
+def unpack_heads(x: Array, num_heads: int) -> Array:
+    """packed-transposed [B, E, L] -> [B, H, L, Dh] (test/debug helper)."""
+    B, E, L = x.shape
+    dh = E // num_heads
+    return x.reshape(B, num_heads, dh, L).transpose(0, 1, 3, 2)
