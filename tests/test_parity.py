@@ -220,3 +220,146 @@ def test_mmvae_cross_decode_parity():
         tuple(map(_j, spec)), method="decode")
     np.testing.assert_allclose(
         np.asarray(j_px.mean).reshape(t_loc.shape), t_loc.numpy(), atol=1e-4)
+
+
+def test_contrastive_tower_parity():
+    torch.manual_seed(5)
+    sys.path.insert(0, REF)
+    from VAESNe.contrastiveNets import ContraPhotSpec as TorchContra
+
+    from vaesne_tpu.models import ContraPhotSpec
+    from vaesne_tpu.utils.torch_port import convert_contrastive
+
+    t_net = TorchContra(latent_len=3, latent_dim=4, proj_dim=8, num_bands=BANDS,
+                        photo_model_dim=16, photo_num_heads=2, photo_ff_dim=16,
+                        photo_num_layers=2, photo_dropout=0.1,
+                        spec_model_dim=16, spec_num_heads=2,
+                        spec_num_layers=2, spec_ff_dim=16, spec_dropout=0.1,
+                        selfattn=False)
+    t_net.eval()
+    j_net = ContraPhotSpec(latent_len=3, latent_dim=4, proj_dim=8,
+                           num_bands=BANDS, photo_model_dim=16,
+                           photo_num_heads=2, photo_ff_dim=16,
+                           photo_num_layers=2, spec_model_dim=16,
+                           spec_num_heads=2, spec_num_layers=2, spec_ff_dim=16)
+    variables = {"params": convert_contrastive(t_net.state_dict())}
+
+    photo = _photo_batch(3)
+    spec = _spec_batch(4)
+    with torch.no_grad():
+        t_z1, t_z2 = t_net((tuple(map(_t, photo)), tuple(map(_t, spec))))
+    j_z1, j_z2 = j_net.apply(
+        variables, (tuple(map(_j, photo)), tuple(map(_j, spec))), True)
+    np.testing.assert_allclose(np.asarray(j_z1), t_z1.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_z2), t_z2.numpy(), atol=1e-4)
+
+
+@pytest.mark.parametrize("hybrid", [True, False])
+def test_hostimg_vae_parity(hybrid):
+    torch.manual_seed(6)
+    from VAESNe.ImageVAE import HostImgVAE as TorchHostImgVAE
+
+    from vaesne_tpu.models import HostImgVAE
+    from vaesne_tpu.utils.torch_port import convert_hostimg_vae
+
+    dims = dict(img_size=16, patch_size=4, in_channels=3, latent_len=3,
+                latent_dim=4, model_dim=16, num_heads=2, ff_dim=16,
+                num_layers=2, hybrid=hybrid)
+    t_model = TorchHostImgVAE(**dims)
+    t_model.eval()
+    j_model = HostImgVAE(**dims)
+    variables = {"params": convert_hostimg_vae(t_model.state_dict())}
+
+    rng = np.random.default_rng(12)
+    img = rng.normal(size=(B, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        t_mu, t_var = t_model.enc(_t(img))
+    qz = j_model.apply(
+        variables, (_j(img), jnp.zeros((B, 0), jnp.float32)),
+        method="encode", mean=False)
+    np.testing.assert_allclose(np.asarray(qz.loc), t_mu.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(qz.scale), t_var.numpy(), atol=1e-4)
+
+    z = rng.normal(size=(1, B, 3, 4)).astype(np.float32)
+    with torch.no_grad():
+        t_loc, _ = t_model.dec(_t(z.reshape(B, 3, 4)))
+    px = j_model.apply(variables, _j(z),
+                       (_j(img), jnp.zeros((B, 0), jnp.float32)),
+                       method="decode")
+    np.testing.assert_allclose(
+        np.asarray(px.mean).reshape(t_loc.shape), t_loc.numpy(), atol=2e-4)
+
+
+def test_m_iwae_objective_parity():
+    """The assembled MoE-IWAE estimator on fixed latents and imported weights
+    matches a torch transcription of losses.py:47-62 exactly."""
+    torch.manual_seed(7)
+    import torch.distributions as tdist
+
+    from vaesne_tpu import objectives
+    from vaesne_tpu.distributions import Laplace as JLaplace
+
+    t_photo = TorchPhotometricVAE(num_bands=BANDS, **DIMS)
+    t_spec = TorchSpectraVAE(**DIMS)
+    t_mm = TorchPhotoSpecMMVAE(vaes=[t_photo, t_spec], beta=1.0)
+    t_mm.eval()
+    j_mm = PhotoSpecMMVAE(
+        vaes=[PhotometricVAE(num_bands=BANDS, **DIMS), SpectraVAE(**DIMS)],
+        beta=1.0,
+    )
+    variables = {"params": convert_photospec_mmvae(t_mm.state_dict())}
+
+    photo = _photo_batch(21)
+    spec = _spec_batch(22)
+    x_j = (tuple(map(_j, photo)), tuple(map(_j, spec)))
+    x_t = (tuple(map(_t, photo)), tuple(map(_t, spec)))
+    K = 2
+    rng = np.random.default_rng(23)
+    zs_np = [rng.normal(size=(K, B, DIMS["latent_len"], DIMS["latent_dim"])
+                        ).astype(np.float32) for _ in range(2)]
+
+    # ---- jax side: terms on fixed z
+    qz_xs = [j_mm.vaes[m].apply({"params": variables["params"][f"vaes_{m}"]},
+                                x_j[m], method="encode", mean=False)
+             for m in range(2)]
+    px_zs = [[j_mm.vaes[d].apply({"params": variables["params"][f"vaes_{d}"]},
+                                 _j(zs_np[e]), x_j[d], method="decode")
+              for d in range(2)] for e in range(2)]
+    zss = [_j(z) for z in zs_np]
+    pz = JLaplace(jnp.zeros((DIMS["latent_len"], DIMS["latent_dim"])),
+                  jnp.ones((DIMS["latent_len"], DIMS["latent_dim"])))
+    scalings = j_mm.llik_scalings
+    j_val = float(objectives.m_iwae_terms(qz_xs, px_zs, zss, x_j, scalings, pz))
+
+    # ---- torch side: transcription of losses.py:47-62
+    with torch.no_grad():
+        t_qz = []
+        for m, xm in enumerate(x_t):
+            mu, var = t_mm.vaes[m].enc(*xm)
+            t_qz.append(tdist.Laplace(mu, var))
+        t_pz = tdist.Laplace(torch.zeros(DIMS["latent_len"], DIMS["latent_dim"]),
+                             torch.ones(DIMS["latent_len"], DIMS["latent_dim"]))
+        lws = []
+        for r in range(2):
+            zr = _t(zs_np[r].reshape(K * B, DIMS["latent_len"], DIMS["latent_dim"]))
+            zr_kb = _t(zs_np[r])
+            lpz = t_pz.log_prob(zr_kb).sum((-1, -2))
+            stacked = torch.stack([qz.log_prob(zr_kb).sum((-1, -2))
+                                   for qz in t_qz])
+            lqz = torch.logsumexp(stacked, dim=0) - np.log(2.0)
+            lpx = 0.0
+            for d in range(2):
+                grids = x_t[d][1:]
+                loc, scale = t_mm.vaes[d].dec(*grids[:-1], zr, grids[-1]) \
+                    if False else t_mm.vaes[d].dec(
+                        *( [g.repeat(K, *([1] * (g.dim() - 1))) for g in grids[:-1]]
+                           + [zr, grids[-1].repeat(K, 1)] ))
+                px = tdist.Laplace(loc.reshape(K, B, -1), scale.reshape(K, B, -1))
+                lp = px.log_prob(x_t[d][0][None].expand(K, B, -1).reshape(K, B, -1))
+                lpx = lpx + lp.sum(-1) * t_mm.vaes[d].llik_scaling
+            lws.append(lpz + lpx - lqz)
+        t_val = float(torch.logsumexp(torch.cat(lws, 0), dim=0).sub(
+            np.log(2.0 * K)).sum())
+
+    assert abs(j_val - t_val) <= 0.01 * abs(t_val), (j_val, t_val)
+    np.testing.assert_allclose(j_val, t_val, rtol=2e-4)

@@ -116,19 +116,15 @@ def m_elbo(model, variables, x, K: int = 1, *, key: Array, deterministic: bool =
     return obj.mean(0).sum()
 
 
-def m_iwae(model, variables, x, K: int = 1, *, key: Array, deterministic: bool = False):
-    """MoE-IWAE estimate of log p(x) for the multimodal VAE.
+def m_iwae_terms(qz_xs, px_zs, zss, x, scalings, pz) -> Array:
+    """The pure MoE-IWAE estimator on precomputed forward outputs.
 
     Reference losses.py:47-62,78-93. Per expert modality r:
       lw_r = log p(z_r) + Σ_d log p_d(x_d | z_r)·scale_d − log (1/M)Σ_m q_m(z_r)
     stacked over modalities into [(M·K), B], log-mean-exp over axis 0,
-    summed over batch.
+    summed over batch. Split out from ``m_iwae`` so golden parity tests can
+    evaluate the estimator on fixed latents/weights without sampling.
     """
-    qz_xs, px_zs, zss = model.apply(
-        variables, x, K, deterministic, rngs=_rngs(key, deterministic)
-    )
-    pz = model.pz()
-    scalings = model.llik_scalings
     lws = []
     for r in range(len(qz_xs)):
         lpz = pz.log_prob(zss[r]).sum((-1, -2))  # [K, B]
@@ -143,6 +139,14 @@ def m_iwae(model, variables, x, K: int = 1, *, key: Array, deterministic: bool =
         lws.append(lpz + lpx_z - lqz_x)
     lw = jnp.concatenate(lws, axis=0)  # [(M·K), B]
     return log_mean_exp(lw, axis=0).sum()
+
+
+def m_iwae(model, variables, x, K: int = 1, *, key: Array, deterministic: bool = False):
+    """MoE-IWAE estimate of log p(x) for the multimodal VAE (losses.py:78)."""
+    qz_xs, px_zs, zss = model.apply(
+        variables, x, K, deterministic, rngs=_rngs(key, deterministic)
+    )
+    return m_iwae_terms(qz_xs, px_zs, zss, x, model.llik_scalings, model.pz())
 
 
 def neg_info_nce(

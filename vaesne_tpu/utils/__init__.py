@@ -19,6 +19,7 @@ from .config import (
     asdict,
     parse_overrides,
 )
+from .profiling import StepTimer, timed_steps, trace
 from .plotting import (plot_loss_curve, plot_lsst_lc, plot_metric_grid,
                        plot_spectra_samples)
 
@@ -38,6 +39,9 @@ __all__ = [
     "ZTFMMVAEConfig",
     "asdict",
     "parse_overrides",
+    "StepTimer",
+    "timed_steps",
+    "trace",
     "plot_loss_curve",
     "plot_metric_grid",
     "plot_lsst_lc",

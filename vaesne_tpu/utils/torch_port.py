@@ -162,9 +162,7 @@ def convert_spectra_decoder(sd: Flat, p: str = "dec.generativetransformer"):
 def convert_photometric_vae(state_dict) -> dict:
     """Reference ``PhotometricVAE.state_dict()`` → flax params for
     ``vaesne_tpu.models.PhotometricVAE``."""
-    sd = numpy_state_dict(state_dict) if not isinstance(state_dict, dict) or any(
-        not isinstance(v, np.ndarray) for v in state_dict.values()
-    ) else state_dict
+    sd = _as_numpy(state_dict)
     return {
         "enc": convert_photometric_encoder(sd),
         "dec": convert_photometric_decoder(sd),
@@ -174,9 +172,7 @@ def convert_photometric_vae(state_dict) -> dict:
 def convert_spectra_vae(state_dict) -> dict:
     """Reference ``SpectraVAE.state_dict()`` → flax params for
     ``vaesne_tpu.models.SpectraVAE``."""
-    sd = numpy_state_dict(state_dict) if not isinstance(state_dict, dict) or any(
-        not isinstance(v, np.ndarray) for v in state_dict.values()
-    ) else state_dict
+    sd = _as_numpy(state_dict)
     return {
         "enc": convert_spectra_encoder(sd),
         "dec": convert_spectra_decoder(sd),
@@ -187,12 +183,81 @@ def convert_photospec_mmvae(state_dict) -> dict:
     """Reference ``photospecMMVAE.state_dict()`` → flax params for
     ``vaesne_tpu.models.PhotoSpecMMVAE`` (vaes.0 = photometry, vaes.1 =
     spectra — mmVAE.py:71-84)."""
-    sd = numpy_state_dict(state_dict) if not isinstance(state_dict, dict) or any(
-        not isinstance(v, np.ndarray) for v in state_dict.values()
-    ) else state_dict
+    sd = _as_numpy(state_dict)
     photo = {k[len("vaes.0."):]: v for k, v in sd.items() if k.startswith("vaes.0.")}
     spec = {k[len("vaes.1."):]: v for k, v in sd.items() if k.startswith("vaes.1.")}
     return {
         "vaes_0": convert_photometric_vae(photo),
         "vaes_1": convert_spectra_vae(spec),
     }
+
+
+def _conv2d(sd: Flat, p: str):
+    """torch Conv2d weight [out,in,kh,kw] → flax Conv kernel [kh,kw,in,out]."""
+    return {"kernel": sd[f"{p}.weight"].transpose(2, 3, 1, 0),
+            "bias": sd[f"{p}.bias"]}
+
+
+def convert_hostimg_encoder(sd: Flat, p: str = "enc.inference_transformer"):
+    """HostImgTransformerEncoder (ImageLayers.py:6-60). The default 2D
+    sin-cos position table is a computed buffer on both sides (no params)."""
+    out = {
+        "initbottleneck": sd[f"{p}.initbottleneck"],
+        "patch_embed": {"proj": _conv2d(sd, f"{p}.patch_embed.proj")},
+        "bottleneckfc": _single_layer_mlp(sd, f"{p}.bottleneckfc"),
+        "blocks": _blocks(sd, f"{p}.transformerblocks"),
+    }
+    if f"{p}.pos_embed" in sd:  # learnable (sincosin=False) variant
+        out["pos_embed"] = sd[f"{p}.pos_embed"][0]
+    if f"{p}.eventloc_embd.fc1.weight" in sd:
+        out["eventloc_embd"] = _sin_mlp_embedding(sd, f"{p}.eventloc_embd")
+    return out
+
+
+def convert_hostimg_decoder(sd: Flat, p: str = "dec.generativetransformer"):
+    """HostImgTransformerDecoder / ...Hybrid (ImageLayers.py:63-110,116-180);
+    the hybrid variant is detected by its final_refine conv stack."""
+    out = {
+        "contextfc": _mlp(sd, f"{p}.contextfc"),
+        "blocks": _blocks(sd, f"{p}.transformerblocks"),
+    }
+    if f"{p}.final_refine.0.weight" in sd:  # hybrid
+        out["decoder"] = _linear(sd, f"{p}.decoder")
+        out["refine_0"] = _conv2d(sd, f"{p}.final_refine.0")
+        out["refine_1"] = _conv2d(sd, f"{p}.final_refine.2")
+    elif f"{p}.decoder.mlp.0.weight" in sd:  # per-pixel MLP decoder
+        out["decoder"] = _mlp(sd, f"{p}.decoder")
+    else:  # per-pixel Linear decoder
+        out["decoder"] = _linear(sd, f"{p}.decoder")
+    return out
+
+
+def convert_hostimg_vae(state_dict) -> dict:
+    """Reference ``HostImgVAE.state_dict()`` → flax params for
+    ``vaesne_tpu.models.HostImgVAE``."""
+    sd = _as_numpy(state_dict)
+    return {
+        "enc": convert_hostimg_encoder(sd),
+        "dec": convert_hostimg_decoder(sd),
+    }
+
+
+def convert_contrastive(state_dict) -> dict:
+    """Reference ``ContraPhotSpec.state_dict()`` → flax params for
+    ``vaesne_tpu.models.ContraPhotSpec`` (towers reuse the modality encoders,
+    contrastiveNets.py:48-77)."""
+    sd = _as_numpy(state_dict)
+    return {
+        "photometry_encoder": convert_photometric_encoder(sd, "photometry_encoder"),
+        "photo_proj": _single_layer_mlp(sd, "photo_proj"),
+        "spectra_encoder": convert_spectra_encoder(sd, "spectra_encoder"),
+        "spectra_proj": _single_layer_mlp(sd, "spectra_proj"),
+    }
+
+
+def _as_numpy(state_dict) -> Flat:
+    if isinstance(state_dict, dict) and all(
+        isinstance(v, np.ndarray) for v in state_dict.values()
+    ):
+        return state_dict
+    return numpy_state_dict(state_dict)
