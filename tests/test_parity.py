@@ -363,3 +363,38 @@ def test_m_iwae_objective_parity():
 
     assert abs(j_val - t_val) <= 0.01 * abs(t_val), (j_val, t_val)
     np.testing.assert_allclose(j_val, t_val, rtol=2e-4)
+
+
+@pytest.mark.parametrize("modality", ["photometric", "spectra"])
+def test_bright_vae_parity(modality):
+    """Bright* variants: decoder-mean recentering to the predicted brightness
+    (PhotometricVAE.py:318-332, SpectraVAE.py:308-322)."""
+    torch.manual_seed(8)
+    from VAESNe.PhotometricVAE import BrightPhotometricVAE as TBrightPhoto
+    from VAESNe.SpectraVAE import BrightSpectraVAE as TBrightSpec
+
+    from vaesne_tpu.models import BrightPhotometricVAE, BrightSpectraVAE
+
+    if modality == "photometric":
+        t_model = TBrightPhoto(num_bands=BANDS, **DIMS)
+        j_model = BrightPhotometricVAE(num_bands=BANDS, **DIMS)
+        batch = _photo_batch(31)
+        params = convert_photometric_vae(t_model.state_dict())
+    else:
+        t_model = TBrightSpec(**DIMS)
+        j_model = BrightSpectraVAE(**DIMS)
+        batch = _spec_batch(32)
+        params = convert_spectra_vae(t_model.state_dict())
+    t_model.eval()
+    variables = {"params": params}
+
+    rng = np.random.default_rng(33)
+    K = 2
+    z = rng.normal(size=(K, B, DIMS["latent_len"], DIMS["latent_dim"])).astype(
+        np.float32)
+    with torch.no_grad():
+        t_px = t_model.decode(_t(z), tuple(map(_t, batch)))
+        t_loc = t_px.loc
+    px = j_model.apply(variables, _j(z), tuple(map(_j, batch)),
+                       method="decode")
+    np.testing.assert_allclose(np.asarray(px.mean), t_loc.numpy(), atol=2e-4)

@@ -160,23 +160,30 @@ def convert_spectra_decoder(sd: Flat, p: str = "dec.generativetransformer"):
 
 
 def convert_photometric_vae(state_dict) -> dict:
-    """Reference ``PhotometricVAE.state_dict()`` → flax params for
-    ``vaesne_tpu.models.PhotometricVAE``."""
+    """Reference ``PhotometricVAE``/``BrightPhotometricVAE`` state_dict →
+    flax params (the Bright variant's brightnessfc MLP is detected by key,
+    PhotometricVAE.py:285)."""
     sd = _as_numpy(state_dict)
-    return {
+    out = {
         "enc": convert_photometric_encoder(sd),
         "dec": convert_photometric_decoder(sd),
     }
+    if "brightnessfc.mlp.0.weight" in sd:
+        out["brightnessfc"] = _mlp(sd, "brightnessfc")
+    return out
 
 
 def convert_spectra_vae(state_dict) -> dict:
-    """Reference ``SpectraVAE.state_dict()`` → flax params for
-    ``vaesne_tpu.models.SpectraVAE``."""
+    """Reference ``SpectraVAE``/``BrightSpectraVAE`` state_dict → flax params
+    (Bright brightnessfc detected by key, SpectraVAE.py:268)."""
     sd = _as_numpy(state_dict)
-    return {
+    out = {
         "enc": convert_spectra_encoder(sd),
         "dec": convert_spectra_decoder(sd),
     }
+    if "brightnessfc.mlp.0.weight" in sd:
+        out["brightnessfc"] = _mlp(sd, "brightnessfc")
+    return out
 
 
 def convert_photospec_mmvae(state_dict) -> dict:
