@@ -398,3 +398,44 @@ def test_bright_vae_parity(modality):
     px = j_model.apply(variables, _j(z), tuple(map(_j, batch)),
                        method="decode")
     np.testing.assert_allclose(np.asarray(px.mean), t_loc.numpy(), atol=2e-4)
+
+
+def test_neg_info_nce_parity():
+    """Symmetric InfoNCE on imported contrastive weights matches the
+    reference's negInfoNCE (losses.py:98-110)."""
+    torch.manual_seed(9)
+    import torch.nn.functional as tF
+
+    from VAESNe.contrastiveNets import ContraPhotSpec as TorchContra
+
+    from vaesne_tpu import objectives
+    from vaesne_tpu.models import ContraPhotSpec
+    from vaesne_tpu.utils.torch_port import convert_contrastive
+
+    kw = dict(latent_len=3, latent_dim=4, proj_dim=8, num_bands=BANDS,
+              photo_model_dim=16, photo_num_heads=2, photo_ff_dim=16,
+              photo_num_layers=2, spec_model_dim=16, spec_num_heads=2,
+              spec_num_layers=2, spec_ff_dim=16)
+    t_net = TorchContra(photo_dropout=0.1, spec_dropout=0.1, selfattn=False, **kw)
+    t_net.eval()
+    j_net = ContraPhotSpec(**kw)
+    variables = {"params": convert_contrastive(t_net.state_dict())}
+
+    photo = _photo_batch(41)
+    spec = _spec_batch(42)
+    x_t = (tuple(map(_t, photo)), tuple(map(_t, spec)))
+    x_j = (tuple(map(_j, photo)), tuple(map(_j, spec)))
+    tau = 0.1
+
+    # torch transcription of losses.py:98-110
+    with torch.no_grad():
+        z1, z2 = t_net(x_t)
+        z1 = tF.normalize(z1, dim=-1)
+        z2 = tF.normalize(z2, dim=-1)
+        logits = z1 @ z2.T / tau
+        labels = torch.arange(z1.shape[0])
+        t_val = -0.5 * (tF.cross_entropy(logits, labels)
+                        + tF.cross_entropy(logits.T, labels))
+    j_val = objectives.neg_info_nce(j_net, variables, x_j, temperature=tau,
+                                    deterministic=True)
+    np.testing.assert_allclose(float(j_val), float(t_val), rtol=1e-4, atol=1e-6)
