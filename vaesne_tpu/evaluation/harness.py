@@ -165,14 +165,18 @@ def evaluate_mmvae(
     key: Optional[Array] = None,
     mesh=None,
     spec_only=None,
+    recs: Optional[Dict[str, np.ndarray]] = None,
 ) -> Dict[str, np.ndarray]:
     """End-to-end: reconstructions → per-phase residual/coverage/width/MSE,
     the single-pass equivalent of spect_cond_LC.py + evaluation.py.
-    ``gt_*`` are in the same (physical or normalized) units as the recons."""
-    recs = mmvae_reconstruction_suite(
-        mm_model, mm_variables, test_batch, K=K, chunk_size=chunk_size, key=key,
-        mesh=mesh, spec_only=spec_only,
-    )
+    ``gt_*`` are in the same (physical or normalized) units as the recons.
+    Pass ``recs`` (a prior ``mmvae_reconstruction_suite`` result) to skip
+    recomputing the inference pass."""
+    if recs is None:
+        recs = mmvae_reconstruction_suite(
+            mm_model, mm_variables, test_batch, K=K, chunk_size=chunk_size,
+            key=key, mesh=mesh, spec_only=spec_only,
+        )
     sets = {"mm": recs["LC2spec"]}
     gts = {"mm": gt_spectra}
     if "speconly" in recs:

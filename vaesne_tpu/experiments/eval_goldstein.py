@@ -90,9 +90,11 @@ def main(argv=None):
         mm_model, mm_vars, test_batch, K=K, key=key,
         spec_only=spec_only, norm=norm,
     )
+    # reuse the (denormalized) reconstructions — one inference pass total,
+    # and metric units consistently physical
     metrics = evaluate_mmvae(
         mm_model, mm_vars, test_batch, phase_phys, gt_spectra,
-        K=K, key=key, spec_only=spec_only,
+        K=K, key=key, spec_only=spec_only, recs=recs,
     )
 
     os.makedirs(out_dir, exist_ok=True)
