@@ -61,6 +61,7 @@ def make_batch(B):
 def main():
     from vaesne_tpu import objectives
     from vaesne_tpu.models import PhotoSpecMMVAE, PhotometricVAE, SpectraVAE
+    from vaesne_tpu.parallel import make_mesh, replicate_state, shard_batch
     from vaesne_tpu.training import TrainState, adamw, init_model, make_train_step
 
     model = PhotoSpecMMVAE(
@@ -71,11 +72,19 @@ def main():
         ],
         beta=1.0,
     )
-    batch = make_batch(B)
+    # data-parallel over all chips (mesh of 1 on a single chip): the global
+    # batch scales with the device count, per-chip work stays B samples
+    n_dev = jax.device_count()
+    global_b = B * n_dev
+    batch = make_batch(global_b)
     key = jax.random.PRNGKey(0)
     params = init_model(model, batch, key, K=K)
     opt = adamw(1e-4)
     state = TrainState.create(params, opt, key)
+    if n_dev > 1:
+        mesh = make_mesh()
+        state = replicate_state(state, mesh)
+        batch = shard_batch(batch, mesh)
 
     def loss_fn(m, variables, b, k):
         return objectives.m_iwae(m, variables, b, K=K, key=k,
@@ -95,7 +104,7 @@ def main():
         jax.block_until_ready(loss)
         best_dt = min(best_dt, time.perf_counter() - t0)
 
-    sps = TIMED_STEPS * B / best_dt
+    sps = TIMED_STEPS * global_b / best_dt
     print(json.dumps({
         "metric": "mmvae_miwae_train_throughput",
         "value": round(sps, 2),
