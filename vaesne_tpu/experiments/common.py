@@ -85,6 +85,8 @@ def train_loop(
     callback: Optional[Callable] = None,
     log: bool = True,
     init_data=None,
+    install_params=None,
+    opt_mask: Optional[Callable] = None,
 ):
     """Full training driver. Returns (state, losses).
 
@@ -105,7 +107,15 @@ def train_loop(
         K=init_K if init_K is not None else train_cfg.K,
         has_sample_rng=has_sample_rng,
     )
+    if install_params:
+        # overwrite subtrees with externally supplied (e.g. pretrained
+        # backbone) weights; combine with ``opt_mask`` to freeze them
+        params = {**params, **install_params}
     opt = adamw(train_cfg.lr)
+    if opt_mask is not None:
+        import optax
+
+        opt = optax.masked(opt, opt_mask(params))
     state = TrainState.create(params, opt, key)
     step_fn = make_train_step(model, opt, loss_fn)
 

@@ -85,9 +85,26 @@ def main(argv=None):
     example_x = jax.tree_util.tree_map(lambda a: a[:2], x_test)
     params = init_model(head, example_x, key, has_sample_rng=False)
     if head_ckpt:
-        template = TrainState.create(params, adamw(1e-3), key)
+        # the train driver checkpoints the FULL params (head + installed
+        # backbone); the template must mirror its (masked) optimizer so the
+        # restored pytree structure matches
+        import optax
+
+        from .train_regression import frozen_param_mask
+
+        # head init only materializes the submodules its forward calls
+        # (e.g. vae.enc, not vae.dec); merge the full backbone structure so
+        # the template matches the saved pytree exactly
+        tmpl_params = {**params, **(frozen or {})}
+        opt = adamw(cfg.train.lr)
+        if frozen:
+            opt = optax.masked(opt, frozen_param_mask(tmpl_params, frozen))
+        template = TrainState.create(tmpl_params, opt, key)
         params = restore_checkpoint(head_ckpt, template).params
-    variables = {"params": {**params, **(frozen or {})}}
+        variables = {"params": params}
+    else:
+        # smoke mode: freshly initialized head over the fresh backbone
+        variables = {"params": {**params, **(frozen or {})}}
 
     pred = jax.jit(lambda x: head.apply(variables, x, True))(x_test)
     absdiff = np.abs(np.asarray(pred) - te_labels)  # already in sigma units

@@ -41,6 +41,17 @@ from .train_contrastive import build_model as build_contrastive
 from .train_photospectra import build_model as build_mmvae
 
 
+def frozen_param_mask(params, frozen):
+    """Boolean pytree: True = trainable (head), False = frozen backbone
+    subtree(s). Used with optax.masked so AdamW never touches (not even
+    weight-decays) the installed pretrained weights."""
+    frozen_keys = set(frozen or {})
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: getattr(path[0], "key", None) not in frozen_keys,
+        params,
+    )
+
+
 def _load_backbone_params(ckpt_path, model, example, key, K=1, has_sample_rng=True):
     """Restore backbone params from a train_loop checkpoint, or initialize
     fresh ones when no checkpoint is given."""
@@ -129,14 +140,18 @@ def main(argv=None):
 
     def loss_fn(m, variables, batch, key):
         x, y = batch
-        if frozen is not None:
-            variables = {"params": {**variables["params"], **frozen}}
         return objectives.mse(m, variables, x, y, key=key, deterministic=False)
 
+    # Install the real (pretrained) backbone weights INTO the head's params
+    # and mask them out of the optimizer: the checkpoint then contains the
+    # true backbone (so eval restores everything from the head checkpoint
+    # alone) and AdamW's weight decay cannot corrupt the frozen subtree.
     state, losses = train_loop(
         head, train_data, loss_fn, cfg.train, config=cfg,
         has_sample_rng=False,
         init_data=x_train,
+        install_params=frozen,
+        opt_mask=(lambda p: frozen_param_mask(p, frozen)) if frozen else None,
         ckpt_name=f"goldstein_{modality}2param_{backbone}",
     )
     print(f"final loss: {losses[-1]:.6f}")
