@@ -66,7 +66,19 @@ def batched_apply(
         outs.append(fn(chunk))
 
     def cat(*leaves):
-        axis = 0 if leaves[0].shape[0] == chunk_size else 1
+        # per-leaf batch-axis detection: outputs are either [chunk, ...] or
+        # [K, chunk, ...]; ambiguous only if K == chunk_size, which
+        # callers must avoid (asserted in mmvae_reconstruction_suite)
+        shape = leaves[0].shape
+        if len(shape) >= 2 and shape[1] == chunk_size and shape[0] != chunk_size:
+            axis = 1
+        elif shape[0] == chunk_size:
+            axis = 0
+        else:
+            raise ValueError(
+                f"batched_apply: no axis of size chunk_size={chunk_size} "
+                f"in output leaf of shape {shape}"
+            )
         out = jnp.concatenate(leaves, axis=axis)
         limit = n if unpad_to is None else unpad_to
         return jax.lax.slice_in_dim(out, 0, limit, axis=axis)
@@ -95,6 +107,10 @@ def mmvae_reconstruction_suite(
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if K == chunk_size:
+        # keeps batched_apply's per-leaf [K, chunk] vs [chunk] axis
+        # detection unambiguous
+        chunk_size += 1
 
     # One jitted program per chunk shape: M×M recon matrix + posterior means
     @jax.jit

@@ -125,12 +125,16 @@ def train_loop(
     for epoch in range(train_cfg.epochs):
         key, k_aug, k_shuffle = jax.random.split(key, 3)
         epoch_data = train_data if augment_fn is None else augment_fn(k_aug, train_data)
-        total, count = 0.0, 0
+        # keep per-step losses on device; ONE host sync per epoch (a
+        # per-step float() costs a device round-trip per step, which
+        # dominates wall time for small models on remote-dispatch TPUs)
+        step_losses = []
         for batch in epoch_batches(k_shuffle, epoch_data, train_cfg.batch_size):
             state, loss = step_fn(state, batch)
-            total += float(loss)
-            count += 1
-        losses.append(total / max(count, 1))
+            step_losses.append(loss)
+        import jax.numpy as jnp
+
+        losses.append(float(jnp.stack(step_losses).mean()) if step_losses else 0.0)
         if log:
             print(f"epoch {epoch + 1}/{train_cfg.epochs}: loss {losses[-1]:.6f}")
         if (epoch + 1) % train_cfg.save_every == 0 or epoch + 1 == train_cfg.epochs:

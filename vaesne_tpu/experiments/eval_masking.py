@@ -69,6 +69,23 @@ def main(argv=None):
         portions=np.array(sorted(mses)),
         mse=np.array([mses[p] for p in sorted(mses)]),
     )
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ps = sorted(mses)
+        ax.plot([100 * p for p in ps], [mses[p] for p in ps], marker="o")
+        ax.set_xlabel("% of observed light-curve points masked")
+        ax.set_ylabel("LC->spec reconstruction MSE")
+        ax.set_title("Cross-modal robustness to light-curve masking")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out_dir, "masking_sweep.png"), dpi=120)
+        plt.close(fig)
+    except Exception as e:  # plotting is best-effort (plot_masking.py analog)
+        print(f"(masking figure skipped: {e})")
     print(f"wrote {out_dir}/masking_sweep.npz")
     return mses
 

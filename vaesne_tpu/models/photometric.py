@@ -48,6 +48,7 @@ class PhotometricVAE(BaseVAE):
     concat: bool = True
     beta: float = 1.0
     llik_scaling: float = 1.0  # multiplied on top of 1/beta (MMVAE balance)
+    scale_eps: float = 1e-6
     prior: Type = Laplace
     likelihood: Type = Laplace
     posterior: Type = Laplace
@@ -89,7 +90,12 @@ class PhotometricVAE(BaseVAE):
         flux, time, band, mask = x
         bottleneck = self.enc(flux, time, band, mask, deterministic=deterministic)
         mu = bottleneck[:, : self.latent_len, :]
-        scale = jax.nn.softplus(bottleneck[:, self.latent_len :, :])
+        # scale_eps floors the posterior scale: softplus underflows to 0 as
+        # the model grows confident, and 1/scale in the (mixture-)posterior
+        # log-probs then overflows - the NaN the reference guards with a
+        # breakpoint() (PhotometricVAE.py:160-161). 1e-6 is far below any
+        # trained scale, so the loss surface is unchanged in practice.
+        scale = jax.nn.softplus(bottleneck[:, self.latent_len :, :]) + self.scale_eps
         return mu, scale
 
     def _dec_loc_scale(self, z_flat, x, K: int, deterministic: bool):

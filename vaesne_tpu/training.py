@@ -27,11 +27,22 @@ LossFn = Callable[[Any, Any, Any, Array], Array]
 
 
 def adamw(lr: float, weight_decay: float = 1e-2, b1: float = 0.9, b2: float = 0.999,
-          eps: float = 1e-8) -> optax.GradientTransformation:
+          eps: float = 1e-8, grad_clip: Optional[float] = 10.0
+          ) -> optax.GradientTransformation:
     """AdamW with torch defaults (the reference's optimizer, e.g.
-    test_photospectra.py:135). Note optax's default weight_decay differs from
-    torch's 1e-2 — pinned here for parity."""
-    return optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+    test_photospectra.py:135; optax's default weight_decay differs from
+    torch's 1e-2 — pinned for parity).
+
+    ``grad_clip`` adds global-norm clipping ahead of the update. The
+    reference has no spike protection and its IWAE training does go
+    non-finite (it ships a ``breakpoint()`` NaN guard at
+    PhotometricVAE.py:160); a 10.0 threshold is far above healthy gradient
+    norms and only catches the divergence spikes. Pass ``None`` to disable.
+    """
+    opt = optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+    if grad_clip is not None:
+        opt = optax.chain(optax.clip_by_global_norm(grad_clip), opt)
+    return opt
 
 
 class TrainState(struct.PyTreeNode):
@@ -130,13 +141,15 @@ def train_epoch(
     shuffle_key: Array,
 ) -> Tuple[TrainState, float]:
     """One epoch over ``data``; returns (state, mean loss) — the reference's
-    ``training_step`` contract (training_util.py:17-53)."""
-    total, count = 0.0, 0
+    ``training_step`` contract (training_util.py:17-53). Per-step losses stay
+    on device; the single host sync happens here, once per epoch."""
+    step_losses = []
     for batch in epoch_batches(shuffle_key, data, batch_size):
         state, loss = step_fn(state, batch)
-        total += float(loss)
-        count += 1
-    return state, total / max(count, 1)
+        step_losses.append(loss)
+    if not step_losses:
+        return state, 0.0
+    return state, float(jnp.stack(step_losses).mean())
 
 
 def fit(
