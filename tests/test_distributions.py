@@ -111,3 +111,20 @@ def test_distribution_under_jit_and_vmap(key):
 
     out = jax.vmap(f)(jnp.arange(6.0).reshape(2, 3))
     assert out.shape == (2, 3)
+
+
+def test_laplace_sample_never_infinite():
+    """Regression: rsample's open bound must use finfo.eps (torch's choice).
+    With finfo.tiny, (tiny - 1) rounds to exactly -1.0 in float32, u == -1
+    becomes reachable, and log1p(-1) = -inf poisons training (observed at
+    epoch 91 of the flagship config before the fix)."""
+    import jax
+
+    d = Laplace(jnp.zeros(8), jnp.ones(8))
+    worst = 0.0
+    for i in range(50):
+        z = d.sample(jax.random.PRNGKey(i), (8192,))
+        assert bool(jnp.all(jnp.isfinite(z)))
+        worst = max(worst, float(jnp.abs(z).max()))
+    # the sampler's |z| is mathematically bounded by |log1p(-(1-eps))| ~ 15.95
+    assert worst <= 16.0

@@ -70,11 +70,19 @@ class Laplace:
     def sample(self, key: Array, sample_shape: Union[int, Sequence[int]] = ()) -> Array:
         """Reparameterized sample (the analog of torch ``rsample``).
 
-        z = loc - scale * sign(u) * log1p(-|u|),  u ~ U(-1, 1).
+        z = loc - scale * sign(u) * log1p(-|u|),  u ~ U(eps-1, 1).
+
+        The open lower bound MUST use ``finfo.eps`` (torch's choice): with
+        ``finfo.tiny`` the bound ``tiny - 1`` rounds to exactly -1.0 in
+        float32, u == -1 becomes reachable, and log1p(-1) = -inf — one such
+        draw (~1 in 2^24) poisons the whole training state with NaNs
+        (observed deterministically at epoch 91 of the flagship config).
         """
         shape = _as_shape(sample_shape) + self.batch_shape
-        eps = jnp.finfo(jnp.result_type(float)).tiny
-        u = jax.random.uniform(key, shape, minval=eps - 1.0, maxval=1.0)
+        dtype = jnp.result_type(self.loc)
+        eps = jnp.finfo(dtype).eps
+        u = jax.random.uniform(key, shape, dtype=dtype,
+                               minval=eps - 1.0, maxval=1.0)
         return self.loc - self.scale * jnp.sign(u) * jnp.log1p(-jnp.abs(u))
 
     # torch-API aliases so ported user code reads the same
