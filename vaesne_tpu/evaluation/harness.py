@@ -208,14 +208,20 @@ def masking_sweep(
     missing_portions: Sequence[float] = (0.0, 0.1, 0.3, 0.5, 0.7, 0.9),
     K: int = 100,
     key: Optional[Array] = None,
+    chunk_size: int = 32,
 ) -> Dict[float, np.ndarray]:
     """Robustness to light-curve masking (gradual_masking.py:67-114): flip an
     extra ``missing`` fraction of *observed* LC points to masked, then
-    cross-reconstruct spectra (LC→spec). Returns {portion: [K, B, N]}."""
+    cross-reconstruct spectra (LC→spec). Returns {portion: [K, B, N]}.
+
+    Runs in fixed-shape chunks: K*B at K=100 over a whole test set in one
+    program exceeds single-chip HBM."""
     if key is None:
         key = jax.random.PRNGKey(42)  # gradual_masking.py:83 uses seed 42
     photo, spec = test_batch
     flux, time, band, mask = photo
+    if K == chunk_size:
+        chunk_size += 1  # keep batched_apply axis detection unambiguous
     out = {}
     recon = jax.jit(
         lambda batch, k: mm_model.apply(
@@ -229,5 +235,8 @@ def masking_sweep(
             observed, jax.random.uniform(k_flip, mask.shape) < missing
         )
         masked_photo = (flux, time, band, jnp.logical_or(mask, flip))
-        out[float(missing)] = np.asarray(recon((masked_photo, spec), k_rec))
+        out[float(missing)] = np.asarray(batched_apply(
+            lambda chunk: recon(chunk, k_rec),
+            (masked_photo, spec), chunk_size,
+        ))
     return out
