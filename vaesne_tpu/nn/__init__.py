@@ -12,6 +12,15 @@ from .layers import (
     TransformerStack,
     sinusoidal_embedding_2d,
 )
+from .extras import (
+    GumbelSoftmax,
+    LearnableFourierEncoding,
+    RelativeMultiHeadAttention,
+    RelativePosition,
+    TransformerModel,
+    flatten,
+    reshape,
+)
 from .photometric_layers import (
     PhotometricTransformerDecoder,
     PhotometricTransformerEncoder,
@@ -34,6 +43,13 @@ __all__ = [
     "TransformerBlock",
     "TransformerStack",
     "sinusoidal_embedding_2d",
+    "GumbelSoftmax",
+    "LearnableFourierEncoding",
+    "RelativeMultiHeadAttention",
+    "RelativePosition",
+    "TransformerModel",
+    "flatten",
+    "reshape",
     "PhotometricTransformerDecoder",
     "PhotometricTransformerEncoder",
     "SpectraTransformerDecoder",
