@@ -11,6 +11,18 @@ capability map with reference file:line citations.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Opt-in persistent XLA compilation cache: first compile of the flagship
+# train step is ~30-60s on TPU; with the cache set, repeated driver runs
+# (sweeps, eval re-runs, resumed training) skip it entirely.
+if _os.environ.get("VAESNE_COMPILE_CACHE"):
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["VAESNE_COMPILE_CACHE"])
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from . import distributions, objectives, training
 from .distributions import Laplace, Normal, kl_divergence, log_mean_exp
 
