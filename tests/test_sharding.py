@@ -101,3 +101,94 @@ def test_sharded_eval_reconstruction(rng, key):
     )(variables, shard_batch(batch, mesh))
     assert recon.shape == (4, 16, batch[0].shape[1])
     assert bool(jnp.all(jnp.isfinite(recon)))
+
+
+def test_tensor_parallel_specs_rules(rng, key):
+    """Megatron-style spec assignment: q/k/v and ffn_0 column-sharded,
+    out_proj/ffn_2 row-sharded, norms/embeddings replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from vaesne_tpu.parallel import MODEL_AXIS, tensor_parallel_specs
+
+    batch = (make_photometry_batch(rng, B=8), make_spectra_batch(rng, B=8))
+    model = PhotoSpecMMVAE(
+        vaes=[PhotometricVAE(num_bands=6, **SMALL), SpectraVAE(**SMALL)]
+    )
+    params = init_model(model, batch, key, K=2)
+    specs = tensor_parallel_specs(params)
+    blk = specs["vaes_0"]["enc"]["blocks"]["block_0"]
+    assert blk["self_attn"]["q_proj"]["kernel"] == P(None, MODEL_AXIS)
+    assert blk["self_attn"]["q_proj"]["bias"] == P(MODEL_AXIS)
+    assert blk["self_attn"]["out_proj"]["kernel"] == P(MODEL_AXIS, None)
+    assert blk["self_attn"]["out_proj"]["bias"] == P()
+    assert blk["ffn_0"]["kernel"] == P(None, MODEL_AXIS)
+    assert blk["ffn_2"]["kernel"] == P(MODEL_AXIS, None)
+    assert blk["layernorm1"]["scale"] == P()
+    assert specs["vaes_0"]["enc"]["initbottleneck"] == P()
+
+
+def test_dp_tp_step_matches_single_device(rng, key):
+    """The SAME jitted train step on a 4(data)x2(model) mesh with
+    tensor-parallel parameter sharding must reproduce single-device
+    training: per-head attention shards are exact; AdamW-with-clipping
+    reduction order differs, so params agree to fp32 reduction noise."""
+    from vaesne_tpu.parallel import shard_state_tp
+
+    batch = (make_photometry_batch(rng, B=16), make_spectra_batch(rng, B=16))
+    model = PhotoSpecMMVAE(
+        vaes=[PhotometricVAE(num_bands=6, **SMALL), SpectraVAE(**SMALL)]
+    )
+    params = init_model(model, batch, key, K=2)
+    opt = adamw(1e-3)
+
+    def loss_fn(m, variables, b, k):
+        return objectives.m_iwae(m, variables, b, K=2, key=k, deterministic=True)
+
+    step = make_train_step(model, opt, loss_fn)
+
+    state_a = TrainState.create(
+        jax.tree_util.tree_map(jnp.array, params), opt, jax.random.PRNGKey(7)
+    )
+    state_a, loss_single = step(state_a, batch)
+
+    mesh = make_mesh(data=4, model=2)
+    state_b = shard_state_tp(
+        TrainState.create(
+            jax.tree_util.tree_map(jnp.array, params), opt, jax.random.PRNGKey(7)
+        ),
+        opt,
+        mesh,
+    )
+    # placement honored: q_proj kernel split over the model axis
+    qk = state_b.params["vaes_0"]["enc"]["blocks"]["block_0"]["self_attn"][
+        "q_proj"]["kernel"]
+    assert qk.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+    # optimizer moments sharded congruently with their params
+    mu_leaves = [
+        leaf
+        for leaf in jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda a: a.sharding.spec, state_b.opt_state)
+        )
+    ]
+    assert jax.sharding.PartitionSpec(None, "model") in mu_leaves
+
+    state_b, loss_tp = step(state_b, shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(loss_single), float(loss_tp), rtol=2e-4)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state_a.params, state_b.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-3
+
+
+def test_tp_divisibility_check(rng, key):
+    """embed 16 over a 2-way model axis is fine; a 3-way axis must raise."""
+    from vaesne_tpu.parallel import shard_params_tp
+
+    batch = (make_photometry_batch(rng, B=8), make_spectra_batch(rng, B=8))
+    model = PhotoSpecMMVAE(
+        vaes=[PhotometricVAE(num_bands=6, **SMALL), SpectraVAE(**SMALL)]
+    )
+    params = init_model(model, batch, key, K=2)
+    mesh = make_mesh(devices=jax.devices()[:6], data=2, model=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_params_tp(params, mesh)

@@ -10,6 +10,7 @@ from .mesh import (
     shard_batch,
     shard_data_parallel,
 )
+from .tp import shard_params_tp, shard_state_tp, tensor_parallel_specs
 
 __all__ = [
     "DATA_AXIS",
@@ -20,4 +21,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_data_parallel",
+    "shard_params_tp",
+    "shard_state_tp",
+    "tensor_parallel_specs",
 ]
