@@ -22,6 +22,12 @@ import time
 # TPU-native training config: bfloat16 compute (fp32 params/optimizer).
 # Validated against fp32: losses track to ~1e-5 relative over training.
 os.environ.setdefault("VAESNE_BF16", "1")
+# At the bench operating point (B=1024, bf16) all activations fit in HBM;
+# block rematerialization only recomputes the forward for nothing. Measured
+# (scripts/profile_step.py + A/B bench runs): backward is ~6x forward with
+# remat on; remat off is ~25% whole-step throughput (170k -> 215k samples/s).
+# Larger-than-HBM batches should keep VAESNE_REMAT=1 (the library default).
+os.environ.setdefault("VAESNE_REMAT", "0")
 
 import numpy as np
 

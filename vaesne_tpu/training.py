@@ -26,6 +26,14 @@ Array = jax.Array
 LossFn = Callable[[Any, Any, Any, Array], Array]
 
 
+def safelog10(x: float) -> float:
+    """log10 clamped at 1e-10 (reference training_util.py:11-13; unused
+    there, kept for API-surface completeness)."""
+    import math
+
+    return math.log10(max(1e-10, x))
+
+
 def adamw(lr: float, weight_decay: float = 1e-2, b1: float = 0.9, b2: float = 0.999,
           eps: float = 1e-8, grad_clip: Optional[float] = 10.0
           ) -> optax.GradientTransformation:
