@@ -139,7 +139,8 @@ def test_dp_tp_step_matches_single_device(rng, key):
         vaes=[PhotometricVAE(num_bands=6, **SMALL), SpectraVAE(**SMALL)]
     )
     params = init_model(model, batch, key, K=2)
-    opt = adamw(1e-3)
+    # TP shardings require param-shaped optimizer moments
+    opt = adamw(1e-3, flatten=False)
 
     def loss_fn(m, variables, b, k):
         return objectives.m_iwae(m, variables, b, K=2, key=k, deterministic=True)

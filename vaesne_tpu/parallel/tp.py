@@ -76,17 +76,29 @@ def shard_params_tp(params: Any, mesh: Mesh) -> Any:
 def shard_state_tp(state: Any, optimizer: optax.GradientTransformation,
                    mesh: Mesh) -> Any:
     """Place a ``TrainState`` for dp×tp: params via ``shard_params_tp``,
-    optimizer moments congruent with their params, step/rng replicated."""
+    optimizer moments congruent with their params, step/rng replicated.
+
+    Requires an optimizer whose state mirrors the param tree — build it with
+    ``training.adamw(..., flatten=False)`` (the flattened default stores
+    moments as one concatenated vector, which cannot carry per-param
+    partition specs)."""
     _check_divisibility(state.params, mesh)
     param_sh = _as_shardings(tensor_parallel_specs(state.params), mesh)
-    opt_sh = optax.tree_map_params(
-        optimizer,
-        lambda _, sh: sh,
-        state.opt_state,
-        param_sh,
-        transform_non_params=lambda _: replicated(mesh),
-        is_leaf=lambda x: isinstance(x, NamedSharding),
-    )
+    try:
+        opt_sh = optax.tree_map_params(
+            optimizer,
+            lambda _, sh: sh,
+            state.opt_state,
+            param_sh,
+            transform_non_params=lambda _: replicated(mesh),
+            is_leaf=lambda x: isinstance(x, NamedSharding),
+        )
+    except (ValueError, TypeError) as e:
+        raise ValueError(
+            "shard_state_tp: optimizer state does not mirror the param tree "
+            "(a flattened optimizer?). Build it with "
+            "training.adamw(..., flatten=False)."
+        ) from e
     state_sh = state.replace(
         params=param_sh,
         opt_state=opt_sh,

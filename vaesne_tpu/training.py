@@ -35,8 +35,8 @@ def safelog10(x: float) -> float:
 
 
 def adamw(lr: float, weight_decay: float = 1e-2, b1: float = 0.9, b2: float = 0.999,
-          eps: float = 1e-8, grad_clip: Optional[float] = 10.0
-          ) -> optax.GradientTransformation:
+          eps: float = 1e-8, grad_clip: Optional[float] = 10.0,
+          flatten: bool = True) -> optax.GradientTransformation:
     """AdamW with torch defaults (the reference's optimizer, e.g.
     test_photospectra.py:135; optax's default weight_decay differs from
     torch's 1e-2 — pinned for parity).
@@ -46,10 +46,21 @@ def adamw(lr: float, weight_decay: float = 1e-2, b1: float = 0.9, b2: float = 0.
     non-finite (it ships a ``breakpoint()`` NaN guard at
     PhotometricVAE.py:160); a 10.0 threshold is far above healthy gradient
     norms and only catches the divergence spikes. Pass ``None`` to disable.
+
+    ``flatten`` wraps the update in ``optax.flatten``: the VAESNe param tree
+    is ~350 small leaves, and per-leaf clip+AdamW lowers to hundreds of tiny
+    TPU kernels whose launch overhead DOMINATED the fused train step
+    (measured: 6.9 → 2.8 ms/step at the flagship bench config, a 2.4×
+    whole-step speedup). Flattening runs the identical math on one
+    concatenated vector. Pass ``False`` when optimizer moments must mirror
+    the param tree — e.g. tensor-parallel sharding
+    (``parallel.shard_state_tp``).
     """
     opt = optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
     if grad_clip is not None:
         opt = optax.chain(optax.clip_by_global_norm(grad_clip), opt)
+    if flatten:
+        opt = optax.flatten(opt)
     return opt
 
 
