@@ -22,10 +22,9 @@ import time
 # TPU-native training config: bfloat16 compute (fp32 params/optimizer).
 # Validated against fp32: losses track to ~1e-5 relative over training.
 os.environ.setdefault("VAESNE_BF16", "1")
-# At the bench operating point (B=1024, bf16) all activations fit in HBM;
-# block rematerialization only recomputes the forward for nothing. Measured
-# (scripts/profile_step.py + A/B bench runs): backward is ~6x forward with
-# remat on; remat off is ~25% whole-step throughput (170k -> 215k samples/s).
+# At the bench operating point (bf16, B=512) all activations fit in HBM, so
+# block rematerialization only recomputes the forward for nothing (honest
+# A/B: no throughput cost either way at this size; scripts/tune_honest.py).
 # Larger-than-HBM batches should keep VAESNE_REMAT=1 (the library default).
 os.environ.setdefault("VAESNE_REMAT", "0")
 
@@ -38,13 +37,12 @@ import jax.numpy as jnp
 # (scripts/measure_reference_baseline.py, batch 16, K=2): samples/sec.
 REFERENCE_CPU_SAMPLES_PER_SEC = 0.40  # see BASELINE.md "measured" section
 
-B = 1024         # TPU-native batch; per-sample work identical to reference
+B = 512          # TPU-native batch; per-sample work identical to reference
 K = 2
 LP, NS = 60, 982
 WARMUP_STEPS = 2
-TIMED_STEPS = 10
-WINDOWS = 3  # report the best window: the axon-tunneled chip shows ±30%
-             # run-to-run noise; best-of-N reflects the hardware's capability
+TIMED_STEPS = 5
+WINDOWS = 2  # report the best window (honest ~2s/step: keep total wall low)
 
 
 def make_batch(B):
@@ -98,16 +96,21 @@ def main():
 
     step = make_train_step(model, opt, loss_fn)
 
+    # NB: synchronize by READING the loss value, not jax.block_until_ready —
+    # on the tunneled axon backend block_until_ready returns before device
+    # execution finishes (measured: a 82 ms attention call "completes" in
+    # 0.05 ms under block_until_ready). A device->host transfer of the loss
+    # (which depends on the whole train-step chain) forces real completion.
     for _ in range(WARMUP_STEPS):
         state, loss = step(state, batch)
-    jax.block_until_ready(loss)
+    float(loss)
 
     best_dt = float("inf")
     for _ in range(WINDOWS):
         t0 = time.perf_counter()
         for _ in range(TIMED_STEPS):
             state, loss = step(state, batch)
-        jax.block_until_ready(loss)
+        float(loss)  # sync: loss depends on every step in the window
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     sps = TIMED_STEPS * global_b / best_dt

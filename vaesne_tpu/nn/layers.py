@@ -209,17 +209,19 @@ class MultiHeadAttention(nn.Module):
         v = nn.Dense(e, dtype=dt, name="v_proj")(value)
 
         rate = self.dropout if (self.dropout > 0.0 and not deterministic) else 0.0
-        # Dispatch (microbenchmarked, scripts/bench_kernels.py): the fused
-        # kernel wins 3.5-4.5x on large grids where XLA would materialize
-        # [B,H,Lq,Lk] probabilities in HBM (982x982: OOM at K*B=1024), and
-        # whenever attention dropout is active (the mask is generated
-        # in-kernel instead of materialized). Only small DETERMINISTIC grids
-        # go through XLA, where its fused softmax beats the kernel's
-        # per-call overhead.
+        # Dispatch: the fused kernel wins on large grids where XLA would
+        # materialize [B,H,Lq,Lk] probabilities in HBM (982x982: OOM at
+        # K*B=1024). Small grids ALWAYS take the XLA path — the kernel's
+        # packed layout puts queries on the 128-lane axis, so Lq=8 bottleneck
+        # or Lq=60 light-curve grids would pad 16x/2x and waste that much
+        # compute (measured honestly with forced device sync: routing small
+        # grids to the kernel under dropout cost ~30% of the flagship step).
+        # XLA's materialized [B,H,Lq,Lk] probs are tiny there, and its
+        # bernoulli dropout matches the torch placement exactly.
         lq, lk = q.shape[-2], k.shape[-2]
         big_grid = lq * lk >= (1 << 16)
         big_total = q.shape[0] * self.num_heads * lq * lk * 4 >= (1 << 28)
-        if use_pallas() and q.ndim == 3 and (big_grid or big_total or rate > 0.0):
+        if use_pallas() and q.ndim == 3 and (big_grid or big_total):
             # Fused Pallas path: softmax(QK^T+bias)V (+ in-kernel attention
             # dropout) per (batch, head, q-tile) block — the [Lq, Lk]
             # probability tensor never exists in HBM. IO uses the packed

@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-Q_TILE = 256
+Q_TILE = 512
 
 
 def _q_tile(lq: int) -> int:
