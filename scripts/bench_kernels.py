@@ -31,13 +31,20 @@ SHAPES = [
 ]
 
 
-def timeit(fn, *args, iters=20):
+def _sync(out):
+    # honest device sync: read a value that depends on the computation
+    # (block_until_ready returns early on the axon tunnel; BASELINE.md)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
+def timeit(fn, *args, iters=8):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 

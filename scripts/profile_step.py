@@ -29,15 +29,22 @@ B = int(os.environ.get("PROF_B", "1024"))
 K = 2
 
 
-def timeit(label, fn, *args, steps=10, windows=3):
+def _sync(out):
+    # honest device sync: read a value that depends on the computation
+    # (block_until_ready returns early on the axon tunnel; BASELINE.md)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
+def timeit(label, fn, *args, steps=4, windows=2):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(steps):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, (time.perf_counter() - t0) / steps)
     print(f"{label:34s} {best*1e3:8.3f} ms")
     return best

@@ -49,13 +49,13 @@ def run_point(B, warmup=2, steps=10, windows=3):
     step = make_train_step(model, opt, loss_fn)
     for _ in range(warmup):
         state, loss = step(state, batch)
-    jax.block_until_ready(loss)
+    float(loss)  # honest sync (block_until_ready lies on axon; BASELINE.md)
     best = float("inf")
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(steps):
             state, loss = step(state, batch)
-        jax.block_until_ready(loss)
+        float(loss)
         best = min(best, time.perf_counter() - t0)
     return steps * B / best
 

@@ -62,17 +62,29 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def honest_sync(x) -> float:
+    """Force REAL device completion by reading a value derived from ``x``.
+
+    ``jax.block_until_ready`` is not a reliable barrier on every backend: on
+    the tunneled ``axon`` TPU it returns before device execution finishes
+    (measured: an ~82 ms kernel "completes" in 0.05 ms under
+    block_until_ready, BASELINE.md "Measurement honesty"). A device->host
+    transfer of a scalar that depends on the computation cannot lie."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jax.numpy.ravel(leaf)[0])
+
+
 def timed_steps(step_fn, state, batches, skip: int = 1):
     """Run ``step_fn`` over ``batches`` with device-synchronized timing.
 
-    Returns (final_state, losses, StepTimer). Each step blocks on its loss so
-    the timer measures real device time, not dispatch time.
+    Returns (final_state, losses, StepTimer). Each step syncs by READING its
+    loss (see ``honest_sync``) so the timer measures real device time, not
+    dispatch time.
     """
     timer = StepTimer(skip=skip)
     losses = []
     for batch in batches:
         with timer:
             state, loss = step_fn(state, batch)
-            jax.block_until_ready(loss)
-        losses.append(float(loss))
+            losses.append(float(loss))
     return state, losses, timer
