@@ -27,6 +27,9 @@ os.environ.setdefault("VAESNE_BF16", "1")
 # A/B: no throughput cost either way at this size; scripts/tune_honest.py).
 # Larger-than-HBM batches should keep VAESNE_REMAT=1 (the library default).
 os.environ.setdefault("VAESNE_REMAT", "0")
+# Persist compiled programs: the tunneled compile service occasionally hangs
+# on large programs; a warm cache makes repeat bench runs skip it entirely.
+os.environ.setdefault("VAESNE_COMPILE_CACHE", "/tmp/vaesne_xla_cache")
 
 import numpy as np
 
