@@ -149,3 +149,40 @@ def test_dropout_active_only_when_not_deterministic(key):
     s1 = m.apply(p, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
     s2 = m.apply(p, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)})
     assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+
+def test_attention_dispatch_policy(monkeypatch, key):
+    """Small grids must NEVER lower to the Pallas kernel (the packed layout's
+    128-lane q-tile minimum wastes 2-16x compute on Lq=8/60 grids — measured
+    honestly on TPU, BASELINE.md); big grids must use it. Verified by tracing
+    with the kernel force-enabled and inspecting the jaxpr."""
+    import vaesne_tpu.ops.dispatch as dispatch
+    from vaesne_tpu.nn.layers import MultiHeadAttention
+
+    def jaxpr_for(lq, lk, dropout, deterministic):
+        mha = MultiHeadAttention(num_heads=4, dropout=dropout)
+        q = jnp.zeros((2, lq, 32))
+        kv = jnp.zeros((2, lk, 32))
+        # init EXECUTES the forward: run it with the kernel off (CPU), then
+        # force-enable the kernel for the abstract trace below
+        monkeypatch.setenv("VAESNE_PALLAS", "0")
+        variables = mha.init(
+            {"params": key, "dropout": key}, q, kv, kv,
+            deterministic=True,
+        )
+        monkeypatch.setenv("VAESNE_PALLAS", "1")
+        assert dispatch.use_pallas()
+        return str(jax.make_jaxpr(
+            lambda v, q, kv: mha.apply(
+                v, q, kv, kv, deterministic=deterministic,
+                rngs={"dropout": key},
+            )
+        )(variables, q, kv))
+
+    # bottleneck-encoder shape (8 queries) with dropout active: XLA path
+    assert "pallas_call" not in jaxpr_for(8, 983, 0.1, False)
+    # light-curve decoder (60x60) with dropout active: XLA path
+    assert "pallas_call" not in jaxpr_for(60, 60, 0.1, False)
+    # spectra decoder self-attention (982x982): fused kernel
+    assert "pallas_call" in jaxpr_for(982, 982, 0.1, False)
+    assert "pallas_call" in jaxpr_for(982, 982, 0.0, True)
