@@ -125,5 +125,40 @@ def main():
     }))
 
 
-if __name__ == "__main__":
+def _run_with_watchdog():
+    """Run the measurement in a child process with a timeout + retry.
+
+    The tunneled compile service intermittently hangs (observed ~1 in 3-4
+    fresh compiles); a hung bench would leave the round without a number.
+    The child prints the JSON line; on timeout/crash we retry fresh.
+    """
+    import subprocess
+    import sys
+
+    for attempt in range(3):
+        env = dict(os.environ, VAESNE_BENCH_CHILD="1")
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {attempt + 1} timed out; retrying",
+                  file=sys.stderr)
+            continue
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        print(f"bench attempt {attempt + 1} failed "
+              f"(rc={out.returncode}): {out.stderr[-500:]}", file=sys.stderr)
+    # last resort: run in-process so any error surfaces directly
     main()
+    return 0
+
+
+if __name__ == "__main__":
+    if os.environ.get("VAESNE_BENCH_CHILD"):
+        main()
+    else:
+        _run_with_watchdog()
