@@ -102,3 +102,65 @@ def test_train_state_is_pytree(key):
     assert len(leaves) > 0
     mapped = jax.tree_util.tree_map(lambda a: a, state)
     assert isinstance(mapped, TrainState)
+
+
+def test_scan_epoch_matches_loop(rng, key):
+    """make_scan_epoch runs the whole epoch under one lax.scan and must
+    reproduce the per-batch loop exactly: same permutation, same per-step
+    RNG chain, same final params and mean loss."""
+    from vaesne_tpu.models import PhotometricVAE
+    from vaesne_tpu.training import make_scan_epoch, train_epoch
+
+    from conftest import make_photometry_batch
+
+    data = make_photometry_batch(rng, B=20)
+    model = PhotometricVAE(num_bands=6, latent_len=2, latent_dim=2,
+                           model_dim=16, num_heads=2, ff_dim=16,
+                           num_layers=1, dropout=0.0)
+    params = init_model(model, data, key, K=2)
+    opt = adamw(1e-3)
+
+    def loss_fn(m, variables, b, k):
+        return objectives.elbo(m, variables, b, K=2, key=k, deterministic=True)
+
+    shuffle = jax.random.PRNGKey(11)
+    state_a = TrainState.create(
+        jax.tree_util.tree_map(jnp.array, params), opt, jax.random.PRNGKey(5)
+    )
+    step = make_train_step(model, opt, loss_fn)
+    state_a, loss_a = train_epoch(state_a, step, data, 8, shuffle)
+
+    state_b = TrainState.create(
+        jax.tree_util.tree_map(jnp.array, params), opt, jax.random.PRNGKey(5)
+    )
+    epoch_fn = make_scan_epoch(model, opt, loss_fn)
+    state_b, loss_b = epoch_fn(state_b, data, shuffle, 8)
+
+    assert int(state_a.step) == int(state_b.step) == 2  # 20 // 8
+    np.testing.assert_allclose(loss_a, loss_b, rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6),
+        state_a.params, state_b.params,
+    )
+
+
+def test_scan_epoch_batch_too_large_raises(rng, key):
+    from vaesne_tpu.models import PhotometricVAE
+    from vaesne_tpu.training import make_scan_epoch
+
+    from conftest import make_photometry_batch
+
+    data = make_photometry_batch(rng, B=4)
+    model = PhotometricVAE(num_bands=6, latent_len=2, latent_dim=2,
+                           model_dim=16, num_heads=2, ff_dim=16,
+                           num_layers=1, dropout=0.0)
+    params = init_model(model, data, key, K=1)
+    opt = adamw(1e-3)
+
+    def loss_fn(m, variables, b, k):
+        return objectives.elbo(m, variables, b, K=1, key=k, deterministic=True)
+
+    epoch_fn = make_scan_epoch(model, opt, loss_fn)
+    state = TrainState.create(params, opt, key)
+    with pytest.raises(ValueError, match="exceeds dataset size"):
+        epoch_fn(state, data, key, 8)

@@ -117,7 +117,19 @@ def train_loop(
 
         opt = optax.masked(opt, opt_mask(params))
     state = TrainState.create(params, opt, key)
-    step_fn = make_train_step(model, opt, loss_fn)
+    # scan_epoch (TrainConfig, default True): every step of an epoch runs
+    # under one lax.scan in ONE compiled program - same math as the
+    # per-batch loop (identical permutation + RNG chain), but one dispatch
+    # per epoch instead of one per minibatch. At the reference's batch
+    # sizes (16-32) per-step dispatch dominates wall time on
+    # remote-dispatch TPUs.
+    use_scan = getattr(train_cfg, "scan_epoch", True)
+    if use_scan:
+        from ..training import make_scan_epoch
+
+        epoch_fn = make_scan_epoch(model, opt, loss_fn)
+    else:
+        step_fn = make_train_step(model, opt, loss_fn)
 
     losses = []
     ckpt_path = os.path.join(train_cfg.ckpt_dir, ckpt_name)
@@ -125,16 +137,24 @@ def train_loop(
     for epoch in range(train_cfg.epochs):
         key, k_aug, k_shuffle = jax.random.split(key, 3)
         epoch_data = train_data if augment_fn is None else augment_fn(k_aug, train_data)
-        # keep per-step losses on device; ONE host sync per epoch (a
-        # per-step float() costs a device round-trip per step, which
-        # dominates wall time for small models on remote-dispatch TPUs)
-        step_losses = []
-        for batch in epoch_batches(k_shuffle, epoch_data, train_cfg.batch_size):
-            state, loss = step_fn(state, batch)
-            step_losses.append(loss)
-        import jax.numpy as jnp
+        if use_scan:
+            state, mean_loss = epoch_fn(
+                state, epoch_data, k_shuffle, train_cfg.batch_size
+            )
+            losses.append(mean_loss)
+        else:
+            # keep per-step losses on device; ONE host sync per epoch (a
+            # per-step float() costs a device round-trip per step, which
+            # dominates wall time for small models on remote-dispatch TPUs)
+            step_losses = []
+            for batch in epoch_batches(k_shuffle, epoch_data, train_cfg.batch_size):
+                state, loss = step_fn(state, batch)
+                step_losses.append(loss)
+            import jax.numpy as jnp
 
-        losses.append(float(jnp.stack(step_losses).mean()) if step_losses else 0.0)
+            losses.append(
+                float(jnp.stack(step_losses).mean()) if step_losses else 0.0
+            )
         if log:
             print(f"epoch {epoch + 1}/{train_cfg.epochs}: loss {losses[-1]:.6f}")
         if (epoch + 1) % train_cfg.save_every == 0 or epoch + 1 == train_cfg.epochs:

@@ -13,6 +13,7 @@ are directly comparable with the reference's printed losses.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Iterator, Optional, Tuple
 
 import jax
@@ -169,6 +170,59 @@ def train_epoch(
     if not step_losses:
         return state, 0.0
     return state, float(jnp.stack(step_losses).mean())
+
+
+def make_scan_epoch(model, optimizer: optax.GradientTransformation,
+                    loss_fn: LossFn):
+    """Build a whole-epoch train function: shuffle + every step under ONE
+    ``lax.scan`` in ONE compiled program.
+
+    The Python loop in ``train_epoch`` dispatches each minibatch step (and
+    its gather) separately — fine on co-located hosts, but at the
+    reference's batch sizes (16-32, e.g. test_photospectra.py:95) dispatch
+    overhead dominates on remote/tunneled devices. Scanning the step is the
+    XLA-native shape: data-independent control flow, one launch per epoch.
+
+    Identical math to the loop: same permutation (from ``shuffle_key``),
+    same per-step RNG chain (``state.rng`` splits), trailing remainder
+    dropped. Returns ``epoch_fn(state, data, shuffle_key) -> (state,
+    mean_loss)``; recompiles only if the dataset/batch geometry changes.
+    """
+
+    def neg_loss(params, batch, key):
+        return -loss_fn(model, {"params": params}, batch, key)
+
+    def body(state: TrainState, batch):
+        key, new_rng = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(neg_loss)(state.params, batch, key)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(
+            params=new_params, opt_state=new_opt_state,
+            step=state.step + 1, rng=new_rng,
+        ), loss
+
+    @functools.partial(jax.jit, static_argnames=("batch_size",), donate_argnums=(0,))
+    def epoch_fn(state: TrainState, data, shuffle_key: Array, batch_size: int):
+        n = jax.tree_util.tree_leaves(data)[0].shape[0]
+        steps = n // batch_size
+        perm = jax.random.permutation(shuffle_key, n)[: steps * batch_size]
+        stacked = jax.tree_util.tree_map(
+            lambda a: a[perm].reshape((steps, batch_size) + a.shape[1:]), data
+        )
+        state, losses = jax.lax.scan(body, state, stacked)
+        return state, losses.mean()
+
+    def run(state: TrainState, data, shuffle_key: Array, batch_size: int):
+        n = jax.tree_util.tree_leaves(data)[0].shape[0]
+        if n // batch_size == 0:
+            raise ValueError(f"batch_size {batch_size} exceeds dataset size {n}")
+        state, mean_loss = epoch_fn(state, data, shuffle_key, batch_size)
+        return state, float(mean_loss)
+
+    return run
 
 
 def fit(

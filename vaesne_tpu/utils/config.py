@@ -38,6 +38,9 @@ class TrainConfig:
     K: int = 1
     beta: float = 1.0
     save_every: int = 5  # reference checkpoints every 5 epochs
+    # run each epoch's steps under one lax.scan (one dispatch/epoch);
+    # False falls back to the per-batch Python loop
+    scan_epoch: bool = True
     ckpt_dir: str = "./ckpt"
     log_dir: str = "./logs"
 
