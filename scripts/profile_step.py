@@ -74,7 +74,15 @@ def main():
         return objectives.m_iwae(m, v, b, K=K, key=k, deterministic=False)
 
     step = make_train_step(model, opt, loss_fn)
-    timeit("full train step", lambda: step(state, batch)[1])
+
+    def timed_step():
+        # the step donates its input state: rebind from the return value so
+        # iteration 2 doesn't touch donated (deleted) buffers on TPU/GPU
+        nonlocal_state[0], loss = step(nonlocal_state[0], batch)
+        return loss
+
+    nonlocal_state = [state]
+    timeit("full train step", timed_step)
 
     fwd = jax.jit(lambda v, b, k: loss_fn(model, v, b, k))
     timeit("loss forward only", fwd, variables, batch, jax.random.PRNGKey(1))

@@ -193,3 +193,9 @@ def test_tp_divisibility_check(rng, key):
     mesh = make_mesh(devices=jax.devices()[:6], data=2, model=3)
     with pytest.raises(ValueError, match="not divisible"):
         shard_params_tp(params, mesh)
+    # tensor dims divisible but heads would split mid-head: SMALL uses
+    # num_heads=2, embed 16 — 16 % 4 == 0 passes the shape check, so only
+    # the explicit num_heads contract can catch 2 % 4 != 0
+    mesh4 = make_mesh(devices=jax.devices()[:8], data=2, model=4)
+    with pytest.raises(ValueError, match="num_heads"):
+        shard_params_tp(params, mesh4, num_heads=2)

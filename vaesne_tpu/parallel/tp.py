@@ -14,8 +14,15 @@ param tree, with XLA GSPMD inserting the collectives:
 - everything else (layernorms, embeddings, heads, bottleneck tokens):
   replicated.
 
-Divisibility contract: ``num_heads`` and ``ff_dim`` must be divisible by the
-model-axis size. Optimizer state is sharded congruently with its parameters
+Divisibility contract (what is actually checked): every sharded TENSOR
+dimension — q/k/v/ffn_0 output axes (``embed_dim`` / ``ff_dim``) and
+out_proj/ffn_2 contraction axes — must be divisible by the model-axis size.
+Param shapes alone cannot reveal ``num_heads``, so the per-head-locality
+design premise (heads not split mid-head, keeping per-head softmax local)
+is only validated when the caller passes ``num_heads=`` to
+``shard_params_tp``/``shard_state_tp``; without it, a mid-head split is
+still numerically correct under GSPMD but costs extra collectives.
+Optimizer state is sharded congruently with its parameters
 (``optax.tree_map_params``), so per-shard AdamW touches only local moments.
 
 NB the fused Pallas attention kernel (ops/attention.py) is a custom call
@@ -65,16 +72,20 @@ def _as_shardings(spec_tree: Any, mesh: Mesh) -> Any:
     )
 
 
-def shard_params_tp(params: Any, mesh: Mesh) -> Any:
-    """Place ``params`` with attention/FFN weights split over ``model``."""
-    _check_divisibility(params, mesh)
+def shard_params_tp(params: Any, mesh: Mesh, num_heads: int | None = None) -> Any:
+    """Place ``params`` with attention/FFN weights split over ``model``.
+
+    Pass ``num_heads`` (from the module config) to additionally enforce
+    ``num_heads % model_axis == 0`` — the head-locality premise that tensor
+    shapes alone cannot verify (see module docstring)."""
+    _check_divisibility(params, mesh, num_heads=num_heads)
     return jax.tree_util.tree_map(
         jax.device_put, params, _as_shardings(tensor_parallel_specs(params), mesh)
     )
 
 
 def shard_state_tp(state: Any, optimizer: optax.GradientTransformation,
-                   mesh: Mesh) -> Any:
+                   mesh: Mesh, num_heads: int | None = None) -> Any:
     """Place a ``TrainState`` for dp×tp: params via ``shard_params_tp``,
     optimizer moments congruent with their params, step/rng replicated.
 
@@ -82,7 +93,7 @@ def shard_state_tp(state: Any, optimizer: optax.GradientTransformation,
     ``training.adamw(..., flatten=False)`` (the flattened default stores
     moments as one concatenated vector, which cannot carry per-param
     partition specs)."""
-    _check_divisibility(state.params, mesh)
+    _check_divisibility(state.params, mesh, num_heads=num_heads)
     param_sh = _as_shardings(tensor_parallel_specs(state.params), mesh)
     try:
         opt_sh = optax.tree_map_params(
@@ -108,10 +119,17 @@ def shard_state_tp(state: Any, optimizer: optax.GradientTransformation,
     return jax.tree_util.tree_map(jax.device_put, state, state_sh)
 
 
-def _check_divisibility(params: Any, mesh: Mesh) -> None:
+def _check_divisibility(params: Any, mesh: Mesh,
+                        num_heads: int | None = None) -> None:
     m = mesh.shape[MODEL_AXIS]
     if m == 1:
         return
+    if num_heads is not None and num_heads % m != 0:
+        raise ValueError(
+            f"num_heads ({num_heads}) not divisible by model axis {m}: "
+            "q/k/v shards would split mid-head, breaking per-head softmax "
+            "locality (extra collectives under GSPMD)"
+        )
 
     def check(path, leaf):
         spec = _spec_for(path, leaf)

@@ -62,11 +62,31 @@ def save_checkpoint(
 
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     """Restore into the structure of ``template`` (an abstract or concrete
-    TrainState with matching pytree structure/shapes)."""
+    TrainState with matching pytree structure/shapes).
+
+    Checkpoint-format note: the opt_state pytree structure depends on how the
+    optimizer was built — ``training.adamw`` with ``flatten=True`` (the
+    default) stores AdamW moments as one concatenated vector, while
+    ``flatten=False`` mirrors the param tree. A checkpoint saved under one
+    setting cannot restore into a template built under the other; the
+    mismatch is detected here and surfaced with the fix rather than as a raw
+    Orbax tree error.
+    """
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
-    return ckptr.restore(os.path.join(path, "state"), abstract)
+    try:
+        return ckptr.restore(os.path.join(path, "state"), abstract)
+    except (ValueError, KeyError) as e:
+        raise ValueError(
+            f"restore_checkpoint: saved state at {path!r} does not match the "
+            "template's pytree structure. If params shapes are right, the "
+            "likely cause is an optimizer-format mismatch: training.adamw("
+            "..., flatten=True) (the default) and flatten=False produce "
+            "different opt_state structures — rebuild the template with the "
+            "same flatten setting the checkpoint was saved with. "
+            f"Original error: {e}"
+        ) from e
 
 
 def load_config(path: str) -> Optional[Dict[str, Any]]:
