@@ -92,9 +92,25 @@ def train_loop(
 
     ``loss_fn(model, variables, batch, key) -> scalar objective`` (maximized).
     ``augment_fn(key, epoch_data) -> epoch_data`` runs once per epoch on
-    device (strictly fresher than the reference's one-shot host augmentation).
+    device (strictly fresher than the reference's one-shot host augmentation;
+    ``train_cfg.parity=True`` switches to the reference's one-shot draw).
+
     Checkpoints every ``train_cfg.save_every`` epochs (reference cadence,
-    test_photospectra.py:146) into ``{ckpt_dir}/{ckpt_name}``.
+    test_photospectra.py:146) into ``{ckpt_dir}/{ckpt_name}``, together with
+    the loss history. ``train_cfg.resume=True`` restores that checkpoint and
+    continues BIT-exactly: the restored ``TrainState`` carries params,
+    optimizer moments, step count and the step-RNG chain, and the epoch-level
+    key chain is fast-forwarded to the restored epoch — so
+    train-to-epoch-N-kill-resume equals an uninterrupted run (the capability
+    the reference lacks entirely: its every-5-epoch whole-model pickle has no
+    optimizer state or resume path, SURVEY §5.3/§5.4).
+
+    Optimizer: AdamW with ``train_cfg``'s lr/weight_decay/b1/b2 and
+    global-norm clipping at ``train_cfg.grad_clip`` (<= 0 disables).
+    ``train_cfg.parity=True`` is the reference-dynamics preset: clipping off
+    + one-shot augmentation. ``train_cfg.accum_steps > 1`` enables
+    trainer-level gradient accumulation (``accum_reduction`` must match the
+    objective's batch reduction — "sum" for m_iwae drivers).
     """
     key = jax.random.PRNGKey(train_cfg.seed)
     k_init, key = jax.random.split(key)
@@ -111,12 +127,24 @@ def train_loop(
         # overwrite subtrees with externally supplied (e.g. pretrained
         # backbone) weights; combine with ``opt_mask`` to freeze them
         params = {**params, **install_params}
-    opt = adamw(train_cfg.lr)
+    parity = getattr(train_cfg, "parity", False)
+    grad_clip = getattr(train_cfg, "grad_clip", 10.0)
+    if parity or grad_clip <= 0:
+        grad_clip = None
+    opt = adamw(
+        train_cfg.lr,
+        weight_decay=getattr(train_cfg, "weight_decay", 1e-2),
+        b1=getattr(train_cfg, "b1", 0.9),
+        b2=getattr(train_cfg, "b2", 0.999),
+        grad_clip=grad_clip,
+    )
     if opt_mask is not None:
         import optax
 
         opt = optax.masked(opt, opt_mask(params))
     state = TrainState.create(params, opt, key)
+    accum_steps = getattr(train_cfg, "accum_steps", 1)
+    accum_reduction = getattr(train_cfg, "accum_reduction", "mean")
     # scan_epoch (TrainConfig, default True): every step of an epoch runs
     # under one lax.scan in ONE compiled program - same math as the
     # per-batch loop (identical permutation + RNG chain), but one dispatch
@@ -127,14 +155,44 @@ def train_loop(
     if use_scan:
         from ..training import make_scan_epoch
 
-        epoch_fn = make_scan_epoch(model, opt, loss_fn)
+        epoch_fn = make_scan_epoch(model, opt, loss_fn, accum_steps,
+                                   accum_reduction)
     else:
-        step_fn = make_train_step(model, opt, loss_fn)
+        step_fn = make_train_step(model, opt, loss_fn, accum_steps,
+                                  accum_reduction)
 
     losses = []
+    start_epoch = 0
     ckpt_path = os.path.join(train_cfg.ckpt_dir, ckpt_name)
     cfg_dict = asdict(config) if config is not None else None
-    for epoch in range(train_cfg.epochs):
+    if getattr(train_cfg, "resume", False):
+        from ..utils.checkpoint import restore_checkpoint
+
+        if os.path.isdir(os.path.join(ckpt_path, "state")):
+            state = restore_checkpoint(ckpt_path, state)
+            n = jax.tree_util.tree_leaves(train_data)[0].shape[0]
+            steps_per_epoch = n // train_cfg.batch_size
+            start_epoch = int(state.step) // max(1, steps_per_epoch)
+            losses_file = os.path.join(ckpt_path, "losses.npy")
+            if os.path.exists(losses_file):
+                losses = [float(v) for v in np.load(losses_file)][:start_epoch]
+            # fast-forward the epoch key chain so augmentation/shuffle draws
+            # continue exactly where the interrupted run left off
+            for _ in range(start_epoch):
+                key, _, _ = jax.random.split(key, 3)
+            if log:
+                print(f"resumed from {ckpt_path} at epoch {start_epoch}")
+        elif log:
+            print(f"resume requested but no checkpoint at {ckpt_path}; "
+                  "starting fresh")
+    if parity and augment_fn is not None:
+        # reference dynamics: ONE augmentation draw before training
+        # (test_photometry.py:41-44 augments the host arrays once), not a
+        # fresh draw per epoch. Keyed off the seed so resume reproduces it.
+        train_data = augment_fn(jax.random.PRNGKey(train_cfg.seed + 1),
+                                train_data)
+        augment_fn = None
+    for epoch in range(start_epoch, train_cfg.epochs):
         key, k_aug, k_shuffle = jax.random.split(key, 3)
         epoch_data = train_data if augment_fn is None else augment_fn(k_aug, train_data)
         if use_scan:
@@ -159,6 +217,8 @@ def train_loop(
             print(f"epoch {epoch + 1}/{train_cfg.epochs}: loss {losses[-1]:.6f}")
         if (epoch + 1) % train_cfg.save_every == 0 or epoch + 1 == train_cfg.epochs:
             save_checkpoint(ckpt_path, state, cfg_dict)
+            np.save(os.path.join(ckpt_path, "losses.npy"),
+                    np.asarray(losses, np.float64))
             os.makedirs(train_cfg.log_dir, exist_ok=True)
             plot_loss_curve(
                 losses, path=os.path.join(train_cfg.log_dir, f"{ckpt_name}_loss.png")

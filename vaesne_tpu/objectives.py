@@ -18,8 +18,12 @@ The reference's ``compute_microbatch_split`` (losses.py:68-76) — a 12-GB-CUDA
 memory heuristic that chops the batch before ``_m_iwae`` — is intentionally
 dropped: on TPU the whole (K, B, M²-decode) graph is one XLA program and
 memory is managed by the compiler. ``m_iwae`` here == ``_m_iwae`` on the full
-batch; use gradient accumulation at the trainer level if a batch ever
-exceeds HBM.
+batch. When a batch DOES exceed HBM, use trainer-level gradient
+accumulation: ``training.make_train_step(..., accum_steps=N,
+accum_reduction="sum")`` (or ``train.accum_steps=N`` on any driver CLI) —
+``accum_reduction="sum"`` reproduces exactly the reference's
+chunk-concat-then-sum structure at losses.py:81-93; use ``"mean"`` for
+batch-mean objectives like ``elbo``.
 
 Model calls are routed through ``module.apply`` with explicit PRNG keys; pass
 ``deterministic=False`` plus a key to enable dropout exactly where torch's

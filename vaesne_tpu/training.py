@@ -49,13 +49,17 @@ def adamw(lr: float, weight_decay: float = 1e-2, b1: float = 0.9, b2: float = 0.
     norms and only catches the divergence spikes. Pass ``None`` to disable.
 
     ``flatten`` wraps the update in ``optax.flatten``: the VAESNe param tree
-    is ~350 small leaves, and per-leaf clip+AdamW lowers to hundreds of tiny
-    TPU kernels whose launch overhead DOMINATED the fused train step
-    (measured: 6.9 → 2.8 ms/step at the flagship bench config, a 2.4×
-    whole-step speedup). Flattening runs the identical math on one
-    concatenated vector. Pass ``False`` when optimizer moments must mirror
-    the param tree — e.g. tensor-parallel sharding
-    (``parallel.shard_state_tp``).
+    is ~350 small leaves; flattening runs the identical math on one
+    concatenated vector instead of hundreds of tiny per-leaf kernels. Honest
+    device-synced timing found this wall-neutral on TPU (the earlier
+    "2.4× step speedup" was a host-dispatch artifact — BASELINE.md
+    "Measurement honesty"); it is kept for dispatch/graph hygiene. Pass
+    ``False`` when optimizer moments must mirror the param tree — e.g.
+    tensor-parallel sharding (``parallel.shard_state_tp``). NB flatten
+    True/False produce DIFFERENT opt_state pytree structures, so a
+    checkpoint saved with one cannot restore into a template built with the
+    other (``utils.checkpoint.restore_checkpoint`` raises an actionable
+    error on that mismatch).
     """
     opt = optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
     if grad_clip is not None:
@@ -99,21 +103,94 @@ def init_model(model, x, key: Array, K: int = 1, has_sample_rng: bool = True):
     return variables["params"]
 
 
-def make_train_step(model, optimizer: optax.GradientTransformation, loss_fn: LossFn):
+def accumulate_gradients(
+    neg_loss_fn: Callable[[Any, Any, Array], Array],
+    params,
+    batch,
+    key: Array,
+    accum_steps: int,
+    reduction: str = "mean",
+) -> Tuple[Array, Any]:
+    """Microbatched value-and-grad: the TPU-native replacement for the
+    reference's ``compute_microbatch_split`` (losses.py:68-76), which chops
+    the batch inside ``m_iwae`` so ``K × data`` chunks fit GPU memory.
+
+    The batch axis is reshaped into ``accum_steps`` equal microbatches and a
+    ``lax.scan`` accumulates grads, so peak activation memory is that of ONE
+    microbatch while the optimizer still sees a single whole-batch update.
+
+    ``reduction`` must match the objective's batch reduction for exact
+    whole-batch equivalence:
+      * ``"mean"`` — averages microbatch losses/grads (objectives that mean
+        over the batch, e.g. ``elbo``, ``neg_info_nce``, ``mse``);
+      * ``"sum"`` — sums them (objectives that sum over the batch, e.g.
+        ``m_iwae`` — exactly the chunk-concat-then-sum structure of reference
+        losses.py:81-93).
+
+    Each microbatch gets ``fold_in(key, i)`` so RNG streams stay independent.
+    """
+    if reduction not in ("mean", "sum"):
+        raise ValueError(f"reduction must be 'mean' or 'sum', got {reduction!r}")
+    n = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    if n % accum_steps != 0:
+        raise ValueError(
+            f"batch size {n} not divisible by accum_steps {accum_steps}"
+        )
+    micro = jax.tree_util.tree_map(
+        lambda a: a.reshape((accum_steps, n // accum_steps) + a.shape[1:]), batch
+    )
+    grad_fn = jax.value_and_grad(neg_loss_fn)
+
+    def body(carry, xs):
+        acc_loss, acc_grads = carry
+        mb, i = xs
+        loss, grads = grad_fn(params, mb, jax.random.fold_in(key, i))
+        acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+        return (acc_loss + loss, acc_grads), None
+
+    init = (
+        jnp.zeros((), jnp.float32),
+        jax.tree_util.tree_map(jnp.zeros_like, params),
+    )
+    (loss, grads), _ = jax.lax.scan(
+        body, init, (micro, jnp.arange(accum_steps))
+    )
+    if reduction == "mean":
+        inv = 1.0 / accum_steps
+        loss = loss * inv
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+    return loss, grads
+
+
+def make_train_step(model, optimizer: optax.GradientTransformation, loss_fn: LossFn,
+                    accum_steps: int = 1, accum_reduction: str = "mean"):
     """Build the fused train step: grads of -loss_fn + optax update, one jit.
 
     Works unchanged on a sharded ``TrainState``/batch: under GSPMD the same
     program runs data-parallel with gradient all-reduce over the mesh (see
     ``vaesne_tpu.parallel``).
+
+    ``accum_steps > 1`` enables gradient accumulation: the batch is processed
+    as that many scanned microbatches (``accumulate_gradients``) with ONE
+    optimizer update, bounding activation memory when ``K × batch`` exceeds
+    HBM — the trainer-level replacement for the reference's in-loss
+    ``compute_microbatch_split`` (losses.py:68-76). ``accum_reduction`` must
+    match the objective's batch reduction ("sum" for ``m_iwae``).
     """
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Array]:
         key, new_rng = jax.random.split(state.rng)
 
-        def neg_objective(params):
-            return -loss_fn(model, {"params": params}, batch, key)
+        def neg_objective(params, b, k):
+            return -loss_fn(model, {"params": params}, b, k)
 
-        loss, grads = jax.value_and_grad(neg_objective)(state.params)
+        if accum_steps == 1:
+            loss, grads = jax.value_and_grad(neg_objective)(state.params, batch, key)
+        else:
+            loss, grads = accumulate_gradients(
+                neg_objective, state.params, batch, key,
+                accum_steps, accum_reduction,
+            )
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
@@ -173,7 +250,8 @@ def train_epoch(
 
 
 def make_scan_epoch(model, optimizer: optax.GradientTransformation,
-                    loss_fn: LossFn):
+                    loss_fn: LossFn, accum_steps: int = 1,
+                    accum_reduction: str = "mean"):
     """Build a whole-epoch train function: shuffle + every step under ONE
     ``lax.scan`` in ONE compiled program.
 
@@ -187,6 +265,10 @@ def make_scan_epoch(model, optimizer: optax.GradientTransformation,
     same per-step RNG chain (``state.rng`` splits), trailing remainder
     dropped. Returns ``epoch_fn(state, data, shuffle_key) -> (state,
     mean_loss)``; recompiles only if the dataset/batch geometry changes.
+
+    ``accum_steps``/``accum_reduction`` as in ``make_train_step``: each step
+    of the scanned epoch processes its batch as that many gradient-
+    accumulation microbatches with one optimizer update.
     """
 
     def neg_loss(params, batch, key):
@@ -194,7 +276,12 @@ def make_scan_epoch(model, optimizer: optax.GradientTransformation,
 
     def body(state: TrainState, batch):
         key, new_rng = jax.random.split(state.rng)
-        loss, grads = jax.value_and_grad(neg_loss)(state.params, batch, key)
+        if accum_steps == 1:
+            loss, grads = jax.value_and_grad(neg_loss)(state.params, batch, key)
+        else:
+            loss, grads = accumulate_gradients(
+                neg_loss, state.params, batch, key, accum_steps, accum_reduction
+            )
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )

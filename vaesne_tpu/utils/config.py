@@ -43,6 +43,23 @@ class TrainConfig:
     scan_epoch: bool = True
     ckpt_dir: str = "./ckpt"
     log_dir: str = "./logs"
+    # --- optimizer (torch AdamW defaults; reference e.g. test_photospectra
+    # .py:135 uses bare torch.optim.AdamW) -------------------------------
+    weight_decay: float = 1e-2
+    b1: float = 0.9
+    b2: float = 0.999
+    # global-norm clip ahead of AdamW; <= 0 disables (reference dynamics
+    # have NO clipping — see training.adamw docstring)
+    grad_clip: float = 10.0
+    # --- gradient accumulation (trainer-level replacement for the
+    # reference's compute_microbatch_split, losses.py:68-76) -------------
+    accum_steps: int = 1
+    accum_reduction: str = "mean"  # "sum" for batch-sum objectives (m_iwae)
+    # --- resume: continue bit-exactly from this run's checkpoint dir ----
+    resume: bool = False
+    # --- parity preset: reference training dynamics (grad_clip off +
+    # one-shot augmentation instead of fresh per-epoch draws) ------------
+    parity: bool = False
 
 
 @dataclass(frozen=True)
@@ -73,8 +90,11 @@ class PhotoSpectraMMVAEConfig:
 
     model: ModelConfig = field(default_factory=lambda: ModelConfig(
         latent_len=4, latent_dim=4, model_dim=32, ff_dim=32))
+    # accum_reduction="sum": m_iwae sums over the batch, so accumulated
+    # microbatch grads must sum for whole-batch equivalence
     train: TrainConfig = field(default_factory=lambda: TrainConfig(
-        lr=1e-4, epochs=200, batch_size=16, K=2, beta=1.0))
+        lr=1e-4, epochs=200, batch_size=16, K=2, beta=1.0,
+        accum_reduction="sum"))
     num_bands: int = 6
 
 
@@ -98,7 +118,8 @@ class ZTFMMVAEConfig:
     model: ModelConfig = field(default_factory=lambda: ModelConfig(
         latent_len=4, latent_dim=4, model_dim=32, ff_dim=32))
     train: TrainConfig = field(default_factory=lambda: TrainConfig(
-        lr=1e-3, epochs=200, batch_size=32, K=8, beta=0.5))
+        lr=1e-3, epochs=200, batch_size=32, K=8, beta=0.5,
+        accum_reduction="sum"))
     num_bands: int = 2
     repeat_factor: int = 10  # ZTF ×10 repeat augmentation
 
