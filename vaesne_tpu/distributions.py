@@ -127,7 +127,89 @@ class Normal:
     rsample = sample
 
 
-Distribution = Union[Laplace, Normal]
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class MaskedGridLaplace:
+    """Laplace likelihood over a masked observation grid:
+    ``scale = 1 + big·mask`` (the decoder mask-variance trick, reference
+    PhotometricVAE.py:91-94 / SpectraVAE.py:84-86) stored as ``(loc, mask,
+    big)`` instead of a materialized scale tensor.
+
+    API-compatible with :class:`Laplace` (``log_prob``/``mean``/``sample``
+    compute the scale lazily — XLA fuses it into consumers), plus
+    ``grid_loglik(x)``: the Σ_grid log-pdf every objective needs, fused so
+    the [K·B, N] scale and per-point log-prob tensors never exist in HBM —
+    on TPU via the Pallas kernel ``ops.laplace.masked_laplace_loglik``,
+    elsewhere as one fused XLA reduction.
+    """
+
+    loc: Array
+    mask: Array  # bool, True == missing
+    big: float   # static (pytree aux data)
+
+    def tree_flatten(self):
+        return (self.loc, self.mask), self.big
+
+    @classmethod
+    def tree_unflatten(cls, big, children):
+        return cls(children[0], children[1], big)
+
+    @property
+    def scale(self) -> Array:
+        m = jnp.broadcast_to(self.mask, jnp.shape(self.loc))
+        return 1.0 + self.big * m.astype(jnp.result_type(self.loc, jnp.float32))
+
+    @property
+    def batch_shape(self) -> Shape:
+        return jnp.shape(self.loc)
+
+    @property
+    def mean(self) -> Array:
+        return self.loc
+
+    @property
+    def variance(self) -> Array:
+        return 2.0 * self.scale**2
+
+    def log_prob(self, x: Array) -> Array:
+        return Laplace(self.loc, self.scale).log_prob(x)
+
+    def sample(self, key: Array, sample_shape: Union[int, Sequence[int]] = ()) -> Array:
+        return Laplace(self.loc, self.scale).sample(key, sample_shape)
+
+    rsample = sample
+
+    def grid_loglik(self, x: Array) -> Array:
+        """Σ over all grid axes of ``log_prob(x)``, keeping the two leading
+        (K, B) batch axes. ``x`` broadcasts against ``loc`` (objectives pass
+        the unexpanded [B, grid] data)."""
+        from .ops import use_pallas
+        from .ops.laplace import (
+            masked_laplace_loglik,
+            masked_laplace_loglik_reference,
+        )
+
+        lead = self.loc.shape[:2]
+        loc = self.loc.reshape(lead[0] * lead[1], -1)
+        x2 = jnp.broadcast_to(x, self.loc.shape).reshape(loc.shape)
+        mask2 = jnp.broadcast_to(self.mask, self.loc.shape).reshape(loc.shape)
+        n = loc.shape[-1]
+        # Pallas pays off when the grid fills TPU lanes (N >= 128); tiny
+        # grids (photometry N=60) pad 2x in VMEM for no win — XLA fuses the
+        # small reduction fine (same finding as the attention-kernel routing,
+        # BASELINE.md "Measurement honesty")
+        if use_pallas() and n >= 128:
+            out = masked_laplace_loglik(
+                loc.astype(jnp.float32), x2.astype(jnp.float32), mask2,
+                float(self.big))
+        else:
+            out = masked_laplace_loglik_reference(
+                loc.astype(jnp.float32), x2.astype(jnp.float32), mask2,
+                float(self.big))
+        return out.reshape(lead)
+
+
+Distribution = Union[Laplace, Normal, MaskedGridLaplace]
 
 
 def get_mean(d: Distribution, key: Array | None = None, K: int = 100) -> Array:

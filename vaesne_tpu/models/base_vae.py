@@ -45,7 +45,13 @@ class BaseVAE(nn.Module):
     ``llik_scaling`` and the distribution classes, and implement:
 
       _enc_params(x, deterministic) -> (mu, scale)  each [B, L, D]
+
+    plus ONE of:
+
       _dec_loc_scale(z_flat, x, K, deterministic) -> (loc, scale) flat [K*B, ...]
+      _dec_dist(z_flat, x, K, deterministic) -> Distribution with flat [K*B, ...]
+        batch (override this to return a fused-likelihood pytree such as
+        ``MaskedGridLaplace`` — see ``_masked_likelihood``)
     """
 
     # -- prior -----------------------------------------------------------
@@ -78,10 +84,30 @@ class BaseVAE(nn.Module):
         """zs: [K, B, latent_len, latent_dim] → likelihood with batch [K, B, ...]."""
         K, B = zs.shape[0], zs.shape[1]
         z_flat = zs.reshape((K * B,) + zs.shape[2:])
+        px_flat = self._dec_dist(z_flat, x, K, deterministic)
+        # unflatten the leading K·B axis of every array in the distribution
+        # pytree (loc/scale, or loc/mask for MaskedGridLaplace)
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((K, B) + a.shape[1:]), px_flat
+        )
+
+    def _dec_dist(self, z_flat, x, K: int, deterministic: bool) -> Distribution:
+        """Default: wrap the subclass's (loc, scale) into ``likelihood``."""
         loc, scale = self._dec_loc_scale(z_flat, x, K, deterministic)
-        loc = loc.reshape((K, B) + loc.shape[1:])
-        scale = scale.reshape((K, B) + scale.shape[1:])
         return self.likelihood(loc, scale)
+
+    def _masked_likelihood(self, loc: Array, mask: Array, big: float) -> Distribution:
+        """The decoder mask-variance trick, fused where possible: for the
+        (default) Laplace likelihood return a ``MaskedGridLaplace`` so
+        objectives take the fused/Pallas Σ-log-pdf path (``grid_loglik``)
+        without ever materializing the [K·B, N] scale tensor; any other
+        likelihood class gets the materialized ``1 + big·mask`` scale
+        (reference PhotometricVAE.py:91-94 / SpectraVAE.py:84-86)."""
+        from ..distributions import MaskedGridLaplace
+
+        if self.likelihood is Laplace:
+            return MaskedGridLaplace(loc, mask, big)
+        return self.likelihood(loc, jnp.ones_like(loc) + big * mask)
 
     def reconstruct(self, x, K: int = 1) -> Array:
         """Posterior-sample reconstructions: mean of p(x|z_k), [K, B, ...]."""

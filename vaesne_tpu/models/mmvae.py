@@ -74,17 +74,15 @@ class MMVAE(nn.Module):
         px_zs = [[None] * M for _ in range(M)]
         for d, vae in enumerate(self.vaes):
             px_all = vae.decode(z_all, x[d], deterministic=deterministic)
-            # rebuild per-expert distributions from the stacked one
-            loc_parts = [
-                jax.lax.slice_in_dim(px_all.loc, e * K, (e + 1) * K, axis=0)
-                for e in range(M)
-            ]
-            scale_parts = [
-                jax.lax.slice_in_dim(px_all.scale, e * K, (e + 1) * K, axis=0)
-                for e in range(M)
-            ]
+            # slice the stacked distribution back into per-expert pytrees
+            # (works for any likelihood: Laplace's (loc, scale) children or
+            # MaskedGridLaplace's (loc, mask) + static big)
             for e in range(M):
-                px_zs[e][d] = type(px_all)(loc_parts[e], scale_parts[e])
+                px_zs[e][d] = jax.tree_util.tree_map(
+                    lambda a, e=e: jax.lax.slice_in_dim(
+                        a, e * K, (e + 1) * K, axis=0),
+                    px_all,
+                )
         return qz_xs, px_zs, zss
 
     def generate(self, N: int, x):

@@ -98,12 +98,11 @@ class PhotometricVAE(BaseVAE):
         scale = jax.nn.softplus(bottleneck[:, self.latent_len :, :]) + self.scale_eps
         return mu, scale
 
-    def _dec_loc_scale(self, z_flat, x, K: int, deterministic: bool):
+    def _dec_dist(self, z_flat, x, K: int, deterministic: bool):
         _, time, band, mask = x
         time_t, band_t, mask_t = (tile_leading(a, K) for a in (time, band, mask))
         loc = self.dec(time_t, band_t, z_flat, mask_t, deterministic=deterministic)
-        scale = jnp.ones_like(loc) + MASK_VARIANCE * mask_t
-        return loc, scale
+        return self._masked_likelihood(loc, mask_t, MASK_VARIANCE)
 
 
 class BrightPhotometricVAE(PhotometricVAE):
@@ -121,11 +120,10 @@ class BrightPhotometricVAE(PhotometricVAE):
 
         self.brightnessfc = MLP(1, (self.model_dim,))
 
-    def _dec_loc_scale(self, z_flat, x, K: int, deterministic: bool):
+    def _dec_dist(self, z_flat, x, K: int, deterministic: bool):
         _, time, band, mask = x
         time_t, band_t, mask_t = (tile_leading(a, K) for a in (time, band, mask))
         brightness = self.brightnessfc(z_flat[:, 0, :])  # [K*B, 1]
         loc = self.dec(time_t, band_t, z_flat, mask_t, deterministic=deterministic)
         loc = loc + brightness - loc.mean(axis=-1, keepdims=True)
-        scale = jnp.ones_like(loc) + MASK_VARIANCE * mask_t
-        return loc, scale
+        return self._masked_likelihood(loc, mask_t, MASK_VARIANCE)

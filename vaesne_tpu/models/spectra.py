@@ -95,12 +95,11 @@ class SpectraVAE(BaseVAE):
         scale = jax.nn.softplus(bottleneck[:, self.latent_len :, :]) + self.scale_eps
         return mu, scale
 
-    def _dec_loc_scale(self, z_flat, x, K: int, deterministic: bool):
+    def _dec_dist(self, z_flat, x, K: int, deterministic: bool):
         _, wavelength, phase, mask = x
         wl_t, phase_t, mask_t = (tile_leading(a, K) for a in (wavelength, phase, mask))
         loc = self.dec(wl_t, phase_t, z_flat, mask_t, deterministic=deterministic)
-        scale = jnp.ones_like(loc) + MASK_VARIANCE * mask_t
-        return loc, scale
+        return self._masked_likelihood(loc, mask_t, MASK_VARIANCE)
 
 
 class BrightSpectraVAE(SpectraVAE):
@@ -116,7 +115,7 @@ class BrightSpectraVAE(SpectraVAE):
         super().setup()
         self.brightnessfc = MLP(1, (self.model_dim,))
 
-    def _dec_loc_scale(self, z_flat, x, K: int, deterministic: bool):
+    def _dec_dist(self, z_flat, x, K: int, deterministic: bool):
         _, wavelength, phase, mask = x
         wl_t, phase_t, mask_t = (tile_leading(a, K) for a in (wavelength, phase, mask))
         brightness = self.brightnessfc(
@@ -124,5 +123,4 @@ class BrightSpectraVAE(SpectraVAE):
         )  # [K*B, 1]
         loc = self.dec(wl_t, phase_t, z_flat, mask_t, deterministic=deterministic)
         loc = loc + brightness - loc.mean(axis=-1, keepdims=True)
-        scale = jnp.ones_like(loc) + MASK_VARIANCE * mask_t
-        return loc, scale
+        return self._masked_likelihood(loc, mask_t, MASK_VARIANCE)

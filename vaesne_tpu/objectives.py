@@ -43,6 +43,23 @@ from .distributions import kl_divergence, log_mean_exp
 Array = jax.Array
 
 
+def grid_loglik(px_z, data) -> Array:
+    """Σ log p(x|z) over the observation grid → [K, B].
+
+    Every objective needs exactly this reduction (reference losses.py:20
+    ``log_prob`` + flatten + ``.sum(-1)``). When the likelihood carries its
+    own mask (``MaskedGridLaplace``, the default for photometry/spectra) the
+    whole mask→scale→log-pdf→sum chain is fused — on TPU via the Pallas
+    kernel ``ops.laplace.masked_laplace_loglik`` — so the [K·B, N] scale and
+    per-point log-prob tensors never hit HBM. Any other distribution takes
+    the generic materialized path (identical math).
+    """
+    if hasattr(px_z, "grid_loglik"):
+        return px_z.grid_loglik(data)
+    lp = px_z.log_prob(data[None])  # broadcast over K
+    return lp.reshape(lp.shape[:2] + (-1,)).sum(-1)
+
+
 def _rngs(key: Optional[Array], deterministic: bool):
     if key is None:
         raise ValueError("objectives need a PRNG key for posterior sampling")
@@ -73,16 +90,14 @@ def elbo(
         variables, x, K, deterministic, rngs=_rngs(key, deterministic)
     )
     data = x[0]
-    lpx_z = px_z.log_prob(data[None])  # broadcast over K
-    kb = lpx_z.shape[:2]
-    lpx_z = lpx_z.reshape(kb + (-1,)) * model.total_llik_scaling
+    lpx_z = grid_loglik(px_z, data) * model.total_llik_scaling  # [K, B]
     kld = kl_divergence(qz_x, model.pz())  # [B, L, D]
-    obj = (lpx_z.sum(-1) - kld.sum((-1, -2))[None, :]).mean()
+    obj = (lpx_z - kld.sum((-1, -2))[None, :]).mean()
     if debug:
         jax.debug.print(
             "kl: {k}, llk: {l}",
             k=kld.sum((-1, -2)).mean(),
-            l=-lpx_z.sum(-1).mean(),
+            l=-lpx_z.mean(),
         )
     return obj
 
@@ -103,8 +118,7 @@ def m_elbo(model, variables, x, K: int = 1, *, key: Array, deterministic: bool =
     for r, qz_x in enumerate(qz_xs):
         klds.append(kl_divergence(qz_x, pz).sum((-1, -2)))  # [B]
         for d in range(M):
-            lp = px_zs[d][d].log_prob(x[d][0][None])
-            lp = lp.reshape(lp.shape[:2] + (-1,)).sum(-1) * scalings[d]  # [K, B]
+            lp = grid_loglik(px_zs[d][d], x[d][0]) * scalings[d]  # [K, B]
             if d == r:
                 lwt = jnp.zeros(())
             else:
@@ -137,8 +151,7 @@ def m_iwae_terms(qz_xs, px_zs, zss, x, scalings, pz) -> Array:
         )  # mixture posterior over modalities → [K, B]
         lpx_z_terms = []
         for d, px_z in enumerate(px_zs[r]):
-            lp = px_z.log_prob(x[d][0][None])
-            lpx_z_terms.append(lp.reshape(lp.shape[:2] + (-1,)).sum(-1) * scalings[d])
+            lpx_z_terms.append(grid_loglik(px_z, x[d][0]) * scalings[d])
         lpx_z = jnp.stack(lpx_z_terms).sum(0)  # [K, B]
         lws.append(lpz + lpx_z - lqz_x)
     lw = jnp.concatenate(lws, axis=0)  # [(M·K), B]
