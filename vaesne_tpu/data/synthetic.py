@@ -82,7 +82,10 @@ def make_goldstein_like(
     phototime = np.zeros((n, photometry_length), np.float32)
     photomask = np.zeros((n, photometry_length), np.int8)
     photoband = np.zeros((n, photometry_length), np.int64)
-    identity = np.empty(n, object)
+    # unicode dtype (not object): a real Goldstein npz stores filename
+    # strings as '<U*' arrays, and np.savez of an object array would need
+    # allow_pickle on reload — the round-trip contract forbids that
+    identity = np.empty(n, "<U96")
 
     # Per-event physical parameters, reference-filename encoded: the
     # reference's ``identity`` holds Goldstein sim filenames whose 4

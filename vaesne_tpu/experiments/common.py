@@ -71,6 +71,23 @@ TUPLE_BUILDERS = {
 }
 
 
+def optimizer_from_config(train_cfg):
+    """AdamW exactly as ``train_loop`` builds it for this config — eval
+    drivers use the same function so their restore TEMPLATE's opt_state
+    structure matches the checkpoint (clipping on/off changes the optax
+    chain structure)."""
+    grad_clip = getattr(train_cfg, "grad_clip", 10.0)
+    if getattr(train_cfg, "parity", False) or grad_clip <= 0:
+        grad_clip = None
+    return adamw(
+        train_cfg.lr,
+        weight_decay=getattr(train_cfg, "weight_decay", 1e-2),
+        b1=getattr(train_cfg, "b1", 0.9),
+        b2=getattr(train_cfg, "b2", 0.999),
+        grad_clip=grad_clip,
+    )
+
+
 def train_loop(
     model,
     train_data,
@@ -128,16 +145,7 @@ def train_loop(
         # backbone) weights; combine with ``opt_mask`` to freeze them
         params = {**params, **install_params}
     parity = getattr(train_cfg, "parity", False)
-    grad_clip = getattr(train_cfg, "grad_clip", 10.0)
-    if parity or grad_clip <= 0:
-        grad_clip = None
-    opt = adamw(
-        train_cfg.lr,
-        weight_decay=getattr(train_cfg, "weight_decay", 1e-2),
-        b1=getattr(train_cfg, "b1", 0.9),
-        b2=getattr(train_cfg, "b2", 0.999),
-        grad_clip=grad_clip,
-    )
+    opt = optimizer_from_config(train_cfg)
     if opt_mask is not None:
         import optax
 
@@ -164,7 +172,12 @@ def train_loop(
     losses = []
     start_epoch = 0
     ckpt_path = os.path.join(train_cfg.ckpt_dir, ckpt_name)
-    cfg_dict = asdict(config) if config is not None else None
+    cfg_dict = None
+    if config is not None:
+        cfg_dict = asdict(config)
+        # tag so utils.checkpoint.restore_config can rebuild the exact
+        # experiment config (and eval drivers the exact architecture)
+        cfg_dict["_config_class"] = type(config).__name__
     if getattr(train_cfg, "resume", False):
         from ..utils.checkpoint import restore_checkpoint
 

@@ -19,9 +19,9 @@ import numpy as np
 
 from ..data import multimodal_tuple
 from ..evaluation.harness import masking_sweep
-from ..utils.config import PhotoSpectraMMVAEConfig
+from ..utils.config import PhotoSpectraMMVAEConfig, parse_overrides
 from .common import parse_cli, resolve_dataset
-from .eval_goldstein import _restore
+from .eval_goldstein import _config_for, _restore
 from .train_photospectra import build_model as build_mmvae
 
 
@@ -45,9 +45,15 @@ def main(argv=None):
     test_batch = multimodal_tuple(data, idx=te_idx)
     key = jax.random.PRNGKey(0)
 
-    mm_model = build_mmvae(PhotoSpectraMMVAEConfig())
+    # config comes from the checkpoint's config.json (e.g. a latlen-2 model
+    # trained via `train_photospectra model.latent_len=2`, the analog of the
+    # reference's --latlen sweep arm in more_masking.sh); remaining CLI
+    # overrides (model.latent_len=2 ...) apply on top for ckpt-less smoke runs
+    mm_cfg = parse_overrides(_config_for(mm_ckpt, PhotoSpectraMMVAEConfig), rest)
+    mm_model = build_mmvae(mm_cfg)
     example = jax.tree_util.tree_map(lambda a: a[:2], test_batch)
-    mm_vars = _restore(mm_ckpt, mm_model, example, key, K=1)
+    mm_vars = _restore(mm_ckpt, mm_model, example, key, K=1,
+                       train_cfg=mm_cfg.train)
 
     sweep = masking_sweep(mm_model, mm_vars, test_batch, K=K)
 

@@ -12,25 +12,22 @@ Usage: python -m vaesne_tpu.experiments.train_ztf_spectra [data=/path.npz] [k=v 
 from __future__ import annotations
 
 import sys
-from dataclasses import dataclass, field
 
 from .. import objectives
 from ..data import augment_spectra, repeat_dataset, spectra_tuple
 from ..models import SpectraVAE
-from ..utils.config import ModelConfig, TrainConfig, parse_overrides
+from ..utils.config import ZTFSpectraConfig, parse_overrides
 from .common import parse_cli, resolve_dataset, split_tuples, train_loop
 
 
-@dataclass(frozen=True)
-class ZTFSpectraConfig:
-    """ZTF spectra-only VAE (ZTF_spectonly.py:48-69)."""
-
-    model: ModelConfig = field(default_factory=lambda: ModelConfig(
-        latent_len=4, latent_dim=4, model_dim=32, ff_dim=32))
-    train: TrainConfig = field(default_factory=lambda: TrainConfig(
-        lr=1e-3, epochs=200, batch_size=32, beta=0.5))
-    repeat_factor: int = 10
-    extra_mask_prob: float = 0.075  # ZTF uses 5-10% (ZTF_spectonly.py:39)
+def build_model(cfg: ZTFSpectraConfig) -> SpectraVAE:
+    m = cfg.model
+    return SpectraVAE(
+        latent_len=m.latent_len, latent_dim=m.latent_dim, model_dim=m.model_dim,
+        num_heads=m.num_heads, ff_dim=m.ff_dim, num_layers=m.num_layers,
+        dropout=m.dropout, selfattn=m.selfattn, concat=m.concat,
+        beta=cfg.train.beta,
+    )
 
 
 def main(argv=None):
@@ -41,13 +38,7 @@ def main(argv=None):
     train_data, _ = split_tuples(data, spectra_tuple)
     train_data = repeat_dataset(train_data, cfg.repeat_factor)
 
-    m = cfg.model
-    model = SpectraVAE(
-        latent_len=m.latent_len, latent_dim=m.latent_dim, model_dim=m.model_dim,
-        num_heads=m.num_heads, ff_dim=m.ff_dim, num_layers=m.num_layers,
-        dropout=m.dropout, selfattn=m.selfattn, concat=m.concat,
-        beta=cfg.train.beta,
-    )
+    model = build_model(cfg)
 
     def loss_fn(mod, variables, batch, key):
         return objectives.elbo(mod, variables, batch, K=cfg.train.K, key=key,

@@ -7,7 +7,14 @@ posterior samples, matplotlib CI-band figures; cross matrix convention
 try_photospectra_model.py:78).
 
 Usage:
-  python -m vaesne_tpu.experiments.try_models [model=mmvae|photometry|spectra|image]
+ZTF variants (try_ZTF_spectonly.py / try_ZTF_photospect.py): pass
+``model=ztf_spectra`` or ``model=ztf_mmvae`` with the matching checkpoint
+(e.g. the shipped ``artifacts/ckpt/ztf_*``); bands/normalization come from
+the ZTF data keys and the checkpoint's config.json.
+
+Usage:
+  python -m vaesne_tpu.experiments.try_models \
+      [model=mmvae|photometry|spectra|image|ztf_spectra|ztf_mmvae]
       [data=...] [mm_ckpt=...] [K=100] [n=4] [out=./figs]
 """
 
@@ -23,7 +30,7 @@ from ..data import multimodal_tuple, photometry_tuple, spectra_tuple
 from ..utils.config import PhotoSpectraMMVAEConfig
 from ..utils.plotting import plot_lsst_lc, plot_spectra_samples
 from .common import parse_cli, resolve_dataset
-from .eval_goldstein import _restore
+from .eval_goldstein import _config_for, _restore
 from .train_photospectra import build_model as build_mmvae
 
 
@@ -43,12 +50,14 @@ def try_unimodal(which, data_path, ckpt, K, n_show, out_dir):
     te_idx = np.asarray(data["testing_idx"])[:n_show]
     if which == "photometry":
         batch = photometry_tuple(data, idx=te_idx)
-        model = build_photo(PhotometryVAEConfig())
+        cfg = _config_for(ckpt, PhotometryVAEConfig)
+        model = build_photo(cfg)
     else:
         batch = spectra_tuple(data, idx=te_idx)
-        model = build_spec(SpectraVAEConfig())
+        cfg = _config_for(ckpt, SpectraVAEConfig)
+        model = build_spec(cfg)
     key = jax.random.PRNGKey(0)
-    variables = _restore(ckpt, model, batch, key, K=1)
+    variables = _restore(ckpt, model, batch, key, K=1, train_cfg=cfg.train)
     recon = model.apply(variables, batch, K, method="reconstruct",
                         rngs={"sample": key})
     os.makedirs(out_dir, exist_ok=True)
@@ -84,9 +93,8 @@ def try_image(data_path, ckpt, K, n_show, out_dir):
 
     from ..data import make_images
     from ..utils.config import ImageVAEConfig
-    from .train_image import main as _unused  # noqa: F401
 
-    cfg = ImageVAEConfig()
+    cfg = _config_for(ckpt, ImageVAEConfig)
     from ..models import HostImgVAE
 
     m = cfg.model
@@ -100,7 +108,7 @@ def try_image(data_path, ckpt, K, n_show, out_dir):
                          channels=cfg.in_channels)
     batch = (jnp.asarray(images), jnp.zeros((n_show, 0), jnp.float32))
     key = jax.random.PRNGKey(0)
-    variables = _restore(ckpt, model, batch, key, K=1)
+    variables = _restore(ckpt, model, batch, key, K=1, train_cfg=cfg.train)
     recon = np.asarray(model.apply(variables, batch, K, method="reconstruct",
                                    rngs={"sample": key}))  # [K, B, C, H, W]
     os.makedirs(out_dir, exist_ok=True)
@@ -115,6 +123,192 @@ def try_image(data_path, ckpt, K, n_show, out_dir):
             ax.axis("off")
     fig.tight_layout()
     path = os.path.join(out_dir, "image_reconstructions.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    print(f"wrote {path}")
+
+
+def try_ztf_spectra(data_path, ckpt, K, n_show, out_dir):
+    """ZTF spectra-only qualitative eval (try_ZTF_spectonly.py): posterior
+    reconstruction with a 95% CI band on the observed wavelengths in physical
+    units, plus prior-sample spectra — against the shipped
+    ``artifacts/ckpt/ztf_spectra_*`` checkpoints (or any ckpt=...)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..utils.config import ZTFSpectraConfig
+    from .train_ztf_spectra import build_model as build_ztf_spec
+
+    data = resolve_dataset(data_path, "ztf")
+    te_idx = np.asarray(data["testing_idx"])[:max(n_show, 1)]
+    batch = spectra_tuple(data, idx=te_idx)
+    cfg = _config_for(ckpt, ZTFSpectraConfig)
+    model = build_ztf_spec(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = _restore(ckpt, model, batch, key, K=1, train_cfg=cfg.train)
+
+    wl_m, wl_s = float(data["wavelength_mean"]), float(data["wavelength_std"])
+    fl_m, fl_s = float(data["flux_mean"]), float(data["flux_std"])
+
+    recon = np.asarray(model.apply(variables, batch, K, method="reconstruct",
+                                   rngs={"sample": key}))  # [K, B, bins]
+    os.makedirs(out_dir, exist_ok=True)
+    fig, axes = plt.subplots(1, len(te_idx), figsize=(5 * len(te_idx), 4),
+                             squeeze=False)
+    for i, ax in enumerate(axes[0]):
+        obs = ~np.asarray(batch[3][i])  # True == observed
+        wl = np.asarray(batch[1][i])[obs] * wl_s + wl_m
+        ax.plot(wl, np.asarray(batch[0][i])[obs] * fl_s + fl_m,
+                color="red", label="ground truth")
+        rec = recon[:, i][:, obs] * fl_s + fl_m
+        ax.plot(wl, rec.mean(0), color="blue", label="Rec-spec")
+        ax.fill_between(wl, np.quantile(rec, 0.025, axis=0),
+                        np.quantile(rec, 0.975, axis=0), color="blue",
+                        alpha=0.3)
+        ax.set_xlabel("wavelength (Å)")
+        ax.set_ylabel("log Fnu")
+        ax.legend()
+    fig.tight_layout()
+    path = os.path.join(out_dir, "ztf_spectra_reconstruction.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    print(f"wrote {path}")
+
+    N = 30
+    gens = np.asarray(model.apply(variables, N, batch, method="generate",
+                                  rngs={"sample": key}))  # [N, B, bins]
+    fig, axs = plt.subplots(2, 1, figsize=(10, 5))
+    obs0 = ~np.asarray(batch[3][0])
+    wl0 = np.asarray(batch[1][0])[obs0] * wl_s + wl_m
+    for i in range(min(N, len(te_idx))):
+        obs = ~np.asarray(batch[3][i])
+        axs[0].plot(np.asarray(batch[1][i])[obs] * wl_s + wl_m,
+                    np.asarray(batch[0][i])[obs] * fl_s + fl_m, alpha=0.5)
+    for i in range(N):
+        axs[1].plot(wl0, gens[i, 0][obs0] * fl_s + fl_m, alpha=0.5)
+    axs[0].set_title("ground-truth spectra")
+    axs[1].set_title("prior samples")
+    for ax in axs:
+        ax.set_ylabel("log Fnu")
+        ax.set_xlabel("wavelength (Å)")
+        ax.set_ylim(-2 * fl_s + fl_m, 2 * fl_s + fl_m)
+    fig.tight_layout()
+    path = os.path.join(out_dir, "ztf_spectra_priorsamples.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    print(f"wrote {path}")
+
+
+def try_ztf_mmvae(data_path, ckpt, K, n_show, out_dir):
+    """ZTF photo+spectra MMVAE qualitative eval (try_ZTF_photospect.py):
+    per-band light-curve panels (ground truth / self-recon / spec→LC), the
+    spec→spec and LC→spec CI-band figures, and prior samples — in physical
+    units via the ZTF normalization keys (combined_*/spectime_*,
+    try_ZTF_photospect.py:21-31)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..utils.config import ZTFMMVAEConfig
+    from .train_ztf_photospect import build_model as build_ztf_mm
+
+    data = resolve_dataset(data_path, "ztf")
+    te_idx = np.asarray(data["testing_idx"])[:max(n_show, 1)]
+    batch = multimodal_tuple(data, idx=te_idx)
+    cfg = _config_for(ckpt, ZTFMMVAEConfig)
+    model = build_ztf_mm(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = _restore(ckpt, model, batch, key, K=1, train_cfg=cfg.train)
+
+    wl_m, wl_s = float(data["wavelength_mean"]), float(data["wavelength_std"])
+    fl_m, fl_s = float(data["flux_mean"]), float(data["flux_std"])
+    pf_m, pf_s = float(data["combined_mean"]), float(data["combined_std"])
+    pt_m, pt_s = (float(data["combined_time_mean"]),
+                  float(data["combined_time_std"]))
+
+    recons = model.apply(variables, batch, K, method="reconstruct",
+                         rngs={"sample": key})
+    photo, spec = batch
+    os.makedirs(out_dir, exist_ok=True)
+
+    # --- light curves: ground truth / LC→LC / spec→LC, per band ---------
+    i = 0
+    fig, axs = plt.subplots(1, 3, figsize=(12, 5))
+    band = np.asarray(photo[2][i])
+    pobs = ~np.asarray(photo[3][i])
+    lc_rec = np.asarray(recons[0][0])[:, i].mean(0)  # [60]
+    lc_cross = np.asarray(recons[1][0])[:, i].mean(0)
+    for b in range(cfg.num_bands):
+        sel = (band == b) & pobs
+        t = np.asarray(photo[1][i])[sel] * pt_s + pt_m
+        for ax, series, marker in ((axs[0], np.asarray(photo[0][i]), "o"),
+                                   (axs[1], lc_rec, "x"),
+                                   (axs[2], lc_cross, "x")):
+            v = series[sel] * pf_s + pf_m
+            ax.plot(t, v)
+            ax.scatter(t, v, s=20, marker=marker)
+    ylow, yhigh = -2 * pf_s + pf_m, 6 * pf_s + pf_m
+    for ax, title in zip(axs, ("Ground truth", "Reconstruction-LC",
+                               "Reconstruction-Spectra")):
+        ax.set_ylim(ylow, yhigh)
+        ax.invert_yaxis()
+        ax.set_title(title)
+    axs[0].set_ylabel("AbsMag")
+    axs[1].set_xlabel("days")
+    path = os.path.join(out_dir, "ztf_lc_reconstruction.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    print(f"wrote {path}")
+
+    # --- spectra: spec→spec and LC→spec with CI bands -------------------
+    sobs = ~np.asarray(spec[3][i])
+    wl = np.asarray(spec[1][i])[sobs] * wl_s + wl_m
+    gt = np.asarray(spec[0][i])[sobs] * fl_s + fl_m
+    fig, axs = plt.subplots(2, 1, figsize=(10, 8))
+    for ax, (e, color, label) in zip(
+            axs, ((1, "blue", "Rec-spec"), (0, "green", "Rec-LC"))):
+        rec = np.asarray(recons[e][1])[:, i][:, sobs] * fl_s + fl_m
+        ax.plot(wl, gt, color="red",
+                label="ground truth" if e == 1 else None)
+        ax.plot(wl, rec.mean(0), color=color, label=label)
+        ax.fill_between(wl, np.quantile(rec, 0.05, axis=0),
+                        np.quantile(rec, 0.95, axis=0), color=color,
+                        alpha=0.3)
+        if e == 0:  # LC→spec: individual posterior-sample traces
+            for k in range(min(30, rec.shape[0])):
+                ax.plot(wl, rec[k], alpha=0.3)
+        ax.set_ylabel("log Fnu")
+        ax.legend()
+    axs[1].set_xlabel("wavelength (Å)")
+    fig.tight_layout()
+    path = os.path.join(out_dir, "ztf_spectra_reconstruction.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    print(f"wrote {path}")
+
+    # --- prior samples --------------------------------------------------
+    N = 30
+    gens = model.apply(variables, N, batch, method="generate",
+                       rngs={"sample": key})
+    fig, axs = plt.subplots(2, 1, figsize=(8, 6))
+    for j in range(min(N, len(te_idx))):
+        o = ~np.asarray(spec[3][j])
+        axs[0].plot(np.asarray(spec[1][j])[o] * wl_s + wl_m,
+                    np.asarray(spec[0][j])[o] * fl_s + fl_m, alpha=0.5)
+    for j in range(N):
+        axs[1].plot(wl, np.asarray(gens[1])[j, i][sobs] * fl_s + fl_m,
+                    alpha=0.5)
+    axs[0].set_title("ground-truth spectra")
+    axs[1].set_title("prior samples")
+    for ax in axs:
+        ax.set_ylabel("log Fnu")
+        ax.set_xlabel("wavelength (Å)")
+        ax.set_ylim(-2 * fl_s + fl_m, 2 * fl_s + fl_m)
+    fig.tight_layout()
+    path = os.path.join(out_dir, "ztf_spectra_priorsamples.png")
     fig.savefig(path, dpi=120)
     plt.close(fig)
     print(f"wrote {path}")
@@ -144,14 +338,19 @@ def main(argv=None):
         return try_unimodal(which, data_path, mm_ckpt, K, n_show, out_dir)
     if which == "image":
         return try_image(data_path, mm_ckpt, K, n_show, out_dir)
+    if which == "ztf_spectra":
+        return try_ztf_spectra(data_path, mm_ckpt, K, n_show, out_dir)
+    if which == "ztf_mmvae":
+        return try_ztf_mmvae(data_path, mm_ckpt, K, n_show, out_dir)
 
     data = resolve_dataset(data_path, "goldstein")
     te_idx = np.asarray(data["testing_idx"])[:n_show]
     batch = multimodal_tuple(data, idx=te_idx)
     key = jax.random.PRNGKey(0)
 
-    model = build_mmvae(PhotoSpectraMMVAEConfig())
-    variables = _restore(mm_ckpt, model, batch, key, K=1)
+    cfg = _config_for(mm_ckpt, PhotoSpectraMMVAEConfig)
+    model = build_mmvae(cfg)
+    variables = _restore(mm_ckpt, model, batch, key, K=1, train_cfg=cfg.train)
 
     # M x M reconstruction matrix, K posterior samples per cell
     recons = model.apply(variables, batch, K, method="reconstruct",

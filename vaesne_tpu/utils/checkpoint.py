@@ -95,3 +95,40 @@ def load_config(path: str) -> Optional[Dict[str, Any]]:
         return None
     with open(cfg) as f:
         return json.load(f)
+
+
+def restore_config(path: str, expected_cls=None):
+    """Rebuild the experiment config a checkpoint was trained with.
+
+    The analog of the reference's ability to ``torch.load`` any pickled
+    model regardless of its hyperparameters (spect_cond_LC.py:75-82): every
+    eval/try driver calls this so a checkpoint trained with non-default
+    latent/model dims restores into the RIGHT architecture with no flags.
+
+    Returns ``None`` when the checkpoint carries no ``config.json`` (the
+    caller falls back to its default config — restore will then shape-error
+    if the architecture actually differs). Raises when the saved
+    ``_config_class`` tag conflicts with ``expected_cls`` — evaluating, say,
+    a contrastive checkpoint as an MMVAE is a user error to surface, not
+    silently mis-evaluate.
+    """
+    d = load_config(path)
+    if d is None:
+        return None
+    from .config import CONFIG_CLASSES, from_dict
+
+    name = d.get("_config_class")
+    cls = CONFIG_CLASSES.get(name) if name else None
+    if expected_cls is not None:
+        if cls is not None and cls is not expected_cls:
+            raise ValueError(
+                f"checkpoint at {path!r} was trained as {name}, but this "
+                f"driver expects {expected_cls.__name__}"
+            )
+        cls = expected_cls
+    if cls is None:
+        raise ValueError(
+            f"checkpoint config at {path!r} has unknown _config_class "
+            f"{name!r}; pass the matching driver or re-save the config"
+        )
+    return from_dict(cls, d)

@@ -125,6 +125,18 @@ class ZTFMMVAEConfig:
 
 
 @dataclass(frozen=True)
+class ZTFSpectraConfig:
+    """ZTF spectra-only VAE (ZTF_spectonly.py:48-69)."""
+
+    model: ModelConfig = field(default_factory=lambda: ModelConfig(
+        latent_len=4, latent_dim=4, model_dim=32, ff_dim=32))
+    train: TrainConfig = field(default_factory=lambda: TrainConfig(
+        lr=1e-3, epochs=200, batch_size=32, beta=0.5))
+    repeat_factor: int = 10
+    extra_mask_prob: float = 0.075  # ZTF uses 5-10% (ZTF_spectonly.py:39)
+
+
+@dataclass(frozen=True)
 class ImageVAEConfig:
     """ZTF host-image VAE (test_ZTFimage.py:44-70) / MNIST smoke (mnist.py)."""
 
@@ -181,3 +193,42 @@ def _override(cfg, path, raw):
 
 def asdict(cfg) -> Dict[str, Any]:
     return dataclasses.asdict(cfg)
+
+
+def from_dict(cls, d: Dict[str, Any]):
+    """Rebuild a (nested) config dataclass from ``asdict`` output — the
+    checkpoint ``config.json`` round-trip. Unknown/underscore keys are
+    ignored (forward compatibility); nested dataclass fields recurse; lists
+    become tuples (JSON has no tuples)."""
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        hint = hints.get(f.name)
+        if dataclasses.is_dataclass(hint) and isinstance(v, dict):
+            v = from_dict(hint, v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+# registry for checkpoint config.json round-trips (utils.checkpoint.
+# restore_config): the saved ``_config_class`` tag dispatches here
+CONFIG_CLASSES = {
+    c.__name__: c
+    for c in (
+        PhotometryVAEConfig,
+        SpectraVAEConfig,
+        PhotoSpectraMMVAEConfig,
+        ContrastiveConfig,
+        ZTFMMVAEConfig,
+        ZTFSpectraConfig,
+        ImageVAEConfig,
+        RegressionConfig,
+    )
+}
