@@ -126,23 +126,45 @@ def test_regression_abs_error_in_sigma():
 
 class TestBatchedApply:
     def test_matches_unchunked_and_unpads(self):
-        # 10 rows, chunks of 4 (pads to 12): identical to one-shot apply
+        # 10 rows, chunks of 4 (pads to 12): identical to one-shot apply;
+        # mixed output axes are DECLARED, not guessed
         x = jnp.arange(10.0)[:, None] * jnp.ones((1, 3))
         fn = lambda c: {"y": c * 2.0, "k": jnp.stack([c, -c])}  # [B,..] and [K,B,..]
-        out = batched_apply(fn, x, chunk_size=4)
+        out = batched_apply(fn, x, chunk_size=4, out_axes={"y": 0, "k": 1})
         np.testing.assert_allclose(out["y"], np.asarray(x) * 2.0)
         assert out["k"].shape == (2, 10, 3)
         np.testing.assert_allclose(out["k"][1], -np.asarray(x))
 
-    def test_rejects_chunkless_output(self):
+    def test_rejects_wrong_declared_axis(self):
         x = jnp.ones((4, 3))
-        with pytest.raises(ValueError, match="no axis of size chunk_size"):
+        with pytest.raises(ValueError, match="out_axes declares batch axis"):
             batched_apply(lambda c: jnp.ones((7, 7)), x, chunk_size=4)
+
+    def test_axis_one_equals_chunk_size_is_fine(self):
+        # the old heuristic was ambiguous when K == chunk_size; the declared
+        # axis isn't
+        x = jnp.arange(8.0)
+        K = 4
+        out = batched_apply(lambda c: jnp.stack([c] * K), x, chunk_size=4,
+                            out_axes=1)
+        assert out.shape == (K, 8)
+        np.testing.assert_allclose(out[0], np.arange(8.0))
 
     def test_tuple_data(self):
         data = (jnp.arange(6.0), jnp.arange(6.0) + 10.0)
         out = batched_apply(lambda c: c[0] + c[1], data, chunk_size=3)
         np.testing.assert_allclose(out, np.arange(6.0) * 2 + 10.0)
+
+    def test_per_chunk_keys_are_independent(self):
+        # with key=..., fn receives fold_in(key, chunk_i): different chunks
+        # draw different noise (VERDICT r1: chunk-correlated CIs), while the
+        # same call is reproducible
+        x = jnp.zeros((8, 5))
+        fn = lambda c, k: jax.random.normal(k, c.shape)
+        out = batched_apply(fn, x, chunk_size=4, key=jax.random.PRNGKey(7))
+        assert not np.allclose(out[:4], out[4:])
+        out2 = batched_apply(fn, x, chunk_size=4, key=jax.random.PRNGKey(7))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
 @pytest.fixture(scope="module")
@@ -199,6 +221,10 @@ class TestHarnessEndToEnd:
         np.testing.assert_allclose(
             recs["LCencode"], whole["LCencode"], rtol=1e-5, atol=1e-6
         )
+        # posterior-sample noise must NOT be chunk-correlated: the second
+        # chunk (rows 4:) draws from fold_in(key, 1), not the same stream
+        # as a single-chunk pass
+        assert not np.allclose(recs["LC2spec"][:, 4:], whole["LC2spec"][:, 4:])
 
     def test_denormalization(self, tiny_mmvae):
         model, variables, batch = tiny_mmvae

@@ -48,42 +48,55 @@ def batched_apply(
     fn: Callable,
     data,
     chunk_size: int,
+    out_axes=0,
     mesh=None,
     unpad_to: Optional[int] = None,
+    key: Optional[Array] = None,
 ):
-    """Run ``fn(chunk) -> pytree`` over the test set in fixed-shape chunks and
-    concatenate on the batch axis of each output leaf (axis 1 if the leaf has
-    a leading K axis — detected by ndim bookkeeping is avoided: fn must return
-    arrays whose FIRST axis is the chunk batch axis OR K; we concatenate on
-    the axis whose length equals chunk_size)."""
+    """Run ``fn`` over the test set in fixed-shape chunks and concatenate each
+    output leaf on its declared batch axis.
+
+    ``out_axes`` states explicitly where the chunk batch axis sits in fn's
+    outputs: an int applied to every leaf (0 for plain ``[chunk, ...]``
+    outputs, 1 for K-sample ``[K, chunk, ...]`` outputs), or a pytree of ints
+    matching fn's output structure for mixed cases. No shape guessing —
+    declared is checked against the actual leaf.
+
+    ``key``: when given, fn is called as ``fn(chunk, chunk_key)`` with
+    ``chunk_key = fold_in(key, chunk_index)`` so every chunk draws an
+    INDEPENDENT sample stream (K-sample CIs must not be correlated across
+    the test set)."""
     padded, n = _pad_to_multiple(data, chunk_size)
     total = jax.tree_util.tree_leaves(padded)[0].shape[0]
     outs = []
-    for i in range(0, total, chunk_size):
+    for ci, i in enumerate(range(0, total, chunk_size)):
         chunk = jax.tree_util.tree_map(lambda a: a[i : i + chunk_size], padded)
         if mesh is not None:
             chunk = shard_batch(chunk, mesh)
-        outs.append(fn(chunk))
-
-    def cat(*leaves):
-        # per-leaf batch-axis detection: outputs are either [chunk, ...] or
-        # [K, chunk, ...]; ambiguous only if K == chunk_size, which
-        # callers must avoid (asserted in mmvae_reconstruction_suite)
-        shape = leaves[0].shape
-        if len(shape) >= 2 and shape[1] == chunk_size and shape[0] != chunk_size:
-            axis = 1
-        elif shape[0] == chunk_size:
-            axis = 0
+        if key is None:
+            outs.append(fn(chunk))
         else:
+            outs.append(fn(chunk, jax.random.fold_in(key, ci)))
+
+    if isinstance(out_axes, int):
+        treedef = jax.tree_util.tree_structure(outs[0])
+        out_axes = jax.tree_util.tree_unflatten(
+            treedef, [out_axes] * treedef.num_leaves
+        )
+
+    def cat(axis, *leaves):
+        if leaves[0].shape[axis] != chunk_size:
             raise ValueError(
-                f"batched_apply: no axis of size chunk_size={chunk_size} "
-                f"in output leaf of shape {shape}"
+                f"batched_apply: out_axes declares batch axis {axis}, but "
+                f"output leaf has shape {leaves[0].shape} with "
+                f"size {leaves[0].shape[axis]} there (chunk_size="
+                f"{chunk_size})"
             )
         out = jnp.concatenate(leaves, axis=axis)
         limit = n if unpad_to is None else unpad_to
         return jax.lax.slice_in_dim(out, 0, limit, axis=axis)
 
-    return jax.tree_util.tree_map(cat, *outs)
+    return jax.tree_util.tree_map(cat, out_axes, *outs)
 
 
 def mmvae_reconstruction_suite(
@@ -107,17 +120,16 @@ def mmvae_reconstruction_suite(
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    if K == chunk_size:
-        # keeps batched_apply's per-leaf [K, chunk] vs [chunk] axis
-        # detection unambiguous
-        chunk_size += 1
 
-    # One jitted program per chunk shape: M×M recon matrix + posterior means
+    # One jitted program per chunk shape: M×M recon matrix + posterior
+    # means. Per-chunk keys come from batched_apply's fold_in so posterior
+    # noise is independent across chunks.
     @jax.jit
-    def full_chunk(chunk):
+    def full_chunk(chunk, chunk_key):
         out = {}
         recons = mm_model.apply(
-            mm_variables, chunk, K, method="reconstruct", rngs={"sample": key}
+            mm_variables, chunk, K, method="reconstruct",
+            rngs={"sample": chunk_key}
         )
         out["LC2LC"] = recons[0][0]
         out["LC2spec"] = recons[0][1]
@@ -131,26 +143,32 @@ def mmvae_reconstruction_suite(
         )
         return out
 
-    results = batched_apply(full_chunk, test_batch, chunk_size, mesh=mesh)
+    # recon cells are [K, chunk, ...]; posterior means are [chunk, ...]
+    axes = {"LC2LC": 1, "LC2spec": 1, "spec2LC": 1, "spec2spec": 1,
+            "LCencode": 0, "specencode": 0}
+    results = batched_apply(full_chunk, test_batch, chunk_size,
+                            out_axes=axes, mesh=mesh, key=key)
     results = {k: np.asarray(v) for k, v in results.items()}
 
     if photo_only is not None:
         pm, pv = photo_only
         f = jax.jit(
-            lambda chunk: pm.apply(pv, chunk, K, method="reconstruct",
-                                   rngs={"sample": key})
+            lambda chunk, k: pm.apply(pv, chunk, K, method="reconstruct",
+                                      rngs={"sample": k})
         )
         results["LConly"] = np.asarray(
-            batched_apply(f, test_batch[0], chunk_size, mesh=mesh)
+            batched_apply(f, test_batch[0], chunk_size, out_axes=1,
+                          mesh=mesh, key=jax.random.fold_in(key, 1))
         )
     if spec_only is not None:
         sm, sv = spec_only
         f = jax.jit(
-            lambda chunk: sm.apply(sv, chunk, K, method="reconstruct",
-                                   rngs={"sample": key})
+            lambda chunk, k: sm.apply(sv, chunk, K, method="reconstruct",
+                                      rngs={"sample": k})
         )
         results["speconly"] = np.asarray(
-            batched_apply(f, test_batch[1], chunk_size, mesh=mesh)
+            batched_apply(f, test_batch[1], chunk_size, out_axes=1,
+                          mesh=mesh, key=jax.random.fold_in(key, 2))
         )
 
     if norm:
@@ -220,8 +238,6 @@ def masking_sweep(
         key = jax.random.PRNGKey(42)  # gradual_masking.py:83 uses seed 42
     photo, spec = test_batch
     flux, time, band, mask = photo
-    if K == chunk_size:
-        chunk_size += 1  # keep batched_apply axis detection unambiguous
     out = {}
     recon = jax.jit(
         lambda batch, k: mm_model.apply(
@@ -235,8 +251,9 @@ def masking_sweep(
             observed, jax.random.uniform(k_flip, mask.shape) < missing
         )
         masked_photo = (flux, time, band, jnp.logical_or(mask, flip))
+        # out_axes=1: LC→spec recon is [K, chunk, bins]; per-chunk keys
+        # folded in by batched_apply (independent CI noise per chunk)
         out[float(missing)] = np.asarray(batched_apply(
-            lambda chunk: recon(chunk, k_rec),
-            (masked_photo, spec), chunk_size,
+            recon, (masked_photo, spec), chunk_size, out_axes=1, key=k_rec,
         ))
     return out
