@@ -9,14 +9,18 @@ tolerance on identical inputs (all deterministic: torch .eval() vs
 z). Skipped when the reference checkout is unavailable.
 """
 
+import os
 import sys
 
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # live-torch golden runs; skip via -m 'not slow'
+
 torch = pytest.importorskip("torch")
 
-REF = "/root/reference/package"
+# portable: point VAESNE_REFERENCE at a VAESNe-dev checkout's package/ dir
+REF = os.environ.get("VAESNE_REFERENCE", "/root/reference/package")
 if REF not in sys.path:
     sys.path.insert(0, REF)
 
