@@ -98,6 +98,7 @@ def test_m_elbo_runs(key, multimodal_batch):
     assert bool(jnp.isfinite(val))
 
 
+@pytest.mark.slow
 def test_m_iwae_more_samples_tightens_bound(key, multimodal_batch):
     """IWAE bound is monotone in K in expectation; with shared seeds the
     averaged estimate over many keys should not decrease for larger K."""

@@ -55,6 +55,7 @@ def test_shard_batch_indivisible_raises(rng):
         shard_batch(batch, mesh)
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device(rng, key):
     """The same jitted step on a sharded batch must produce (numerically)
     the same loss and updated params as unsharded execution."""
@@ -127,6 +128,7 @@ def test_tensor_parallel_specs_rules(rng, key):
     assert specs["vaes_0"]["enc"]["initbottleneck"] == P()
 
 
+@pytest.mark.slow
 def test_dp_tp_step_matches_single_device(rng, key):
     """The SAME jitted train step on a 4(data)x2(model) mesh with
     tensor-parallel parameter sharding must reproduce single-device

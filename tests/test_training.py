@@ -104,6 +104,7 @@ def test_train_state_is_pytree(key):
     assert isinstance(mapped, TrainState)
 
 
+@pytest.mark.slow
 def test_scan_epoch_matches_loop(rng, key):
     """make_scan_epoch runs the whole epoch under one lax.scan and must
     reproduce the per-batch loop exactly: same permutation, same per-step
@@ -219,6 +220,7 @@ def test_accum_matches_whole_batch(key, reduction):
     assert np.isfinite(float(loss)) and int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_accumulate_gradients_key_schedule(key, multimodal_batch):
     """With a sampling objective (m_iwae), accumulation must equal the manual
     per-microbatch loop with fold_in(key, i) keys and summed grads."""
@@ -281,6 +283,7 @@ def test_accumulate_gradients_errors(key):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_train_loop_resume_bit_exact(tmp_path):
     """train 2 epochs → 'crash' → resume to 4 must equal an uninterrupted
     4-epoch run bit-for-bit (params AND optimizer state), including the
