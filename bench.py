@@ -40,6 +40,13 @@ import jax.numpy as jnp
 # (scripts/measure_reference_baseline.py, batch 16, K=2): samples/sec.
 REFERENCE_CPU_SAMPLES_PER_SEC = 0.40  # see BASELINE.md "measured" section
 
+# FLOPs per sample of the full train step (fwd+bwd+AdamW), from XLA's cost
+# model on the pure-XLA lowering of the identical program — measured by
+# scripts/mfu.py 2026-08-17 (two-point linearity check 2.0001x; full audit
+# in PERFORMANCE.md "MFU and roofline").
+FLOPS_PER_SAMPLE = 11_010_639_872
+V5E_PEAK_BF16 = 197e12  # FLOP/s per chip (public v5e spec)
+
 B = 512          # TPU-native batch; per-sample work identical to reference
 K = 2
 LP, NS = 60, 982
@@ -122,10 +129,11 @@ def main():
         "value": round(sps, 2),
         "unit": "samples/sec",
         "vs_baseline": round(sps / REFERENCE_CPU_SAMPLES_PER_SEC, 2),
+        "precision": "bf16" if os.environ.get("VAESNE_BF16") != "0" else "fp32",
     }))
 
 
-def _run_with_watchdog():
+def _child_json(extra_env, attempts=3, timeout=900):
     """Run the measurement in a child process with a timeout + retry.
 
     The tunneled compile service intermittently hangs (observed ~1 in 3-4
@@ -135,12 +143,12 @@ def _run_with_watchdog():
     import subprocess
     import sys
 
-    for attempt in range(3):
-        env = dict(os.environ, VAESNE_BENCH_CHILD="1")
+    for attempt in range(attempts):
+        env = dict(os.environ, VAESNE_BENCH_CHILD="1", **extra_env)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=900,
+                env=env, capture_output=True, text=True, timeout=timeout,
             )
         except subprocess.TimeoutExpired:
             print(f"bench attempt {attempt + 1} timed out; retrying",
@@ -148,12 +156,30 @@ def _run_with_watchdog():
             continue
         lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
         if out.returncode == 0 and lines:
-            print(lines[-1])
-            return 0
+            return json.loads(lines[-1])
         print(f"bench attempt {attempt + 1} failed "
               f"(rc={out.returncode}): {out.stderr[-500:]}", file=sys.stderr)
-    # last resort: run in-process so any error surfaces directly
-    main()
+    return None
+
+
+def _run_with_watchdog():
+    result = _child_json({})
+    if result is None:
+        # last resort: run in-process so any error surfaces directly
+        main()
+        return 0
+    # fp32 companion number (VERDICT r1: "bench reports bf16 only" — the
+    # parity suite runs fp32, so record both precisions side by side). The
+    # bf16 number stays the headline `value`; fp32 failure is non-fatal.
+    fp32 = _child_json({"VAESNE_BF16": "0"}, attempts=2)
+    if fp32 is not None:
+        result["fp32_samples_per_sec"] = fp32["value"]
+    if FLOPS_PER_SAMPLE is not None:
+        # audited constant from scripts/mfu.py (XLA cost model, pure-XLA
+        # graph); dt is this run's measured wall time
+        result["mfu_pct"] = round(
+            100 * FLOPS_PER_SAMPLE * result["value"] / V5E_PEAK_BF16, 2)
+    print(json.dumps(result))
     return 0
 
 

@@ -51,6 +51,41 @@ def test_tuple_builders_mask_inversion():
     assert mm[0][0].shape[0] == 4 and mm[1][0].shape[0] == 4
 
 
+def test_npz_file_round_trip(tmp_path):
+    """Write the synthetic dict to a REAL .npz and reload through load_npz:
+    the tuples built from disk must be bit-identical to the in-memory path.
+    Closes the one untested seam between the synthetic generators and the
+    real-data loader (the reference reads the same layout at
+    test_photospectra.py:22-60)."""
+    from vaesne_tpu.data import goldstein_labels, load_npz
+
+    d = make_goldstein_like(n=12, spectrum_bins=40, photometry_length=10)
+    path = tmp_path / "goldstein.npz"
+    np.savez(path, **d)
+    loaded = load_npz(str(path))
+
+    assert set(loaded) == set(d)
+    for pair in zip(multimodal_tuple(d), multimodal_tuple(loaded)):
+        for a, b in zip(*pair):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    tr_a, te_a = train_test_split(d)
+    tr_b, te_b = train_test_split(loaded)
+    np.testing.assert_array_equal(tr_a, tr_b)
+    np.testing.assert_array_equal(te_a, te_b)
+    # identity filenames survive the save as str arrays → same parsed labels
+    np.testing.assert_array_equal(goldstein_labels(d), goldstein_labels(loaded))
+
+    z = make_ztf_like(n=6, spectrum_bins=20, photometry_length=8)
+    zpath = tmp_path / "ztf.npz"
+    np.savez(zpath, **z)
+    zloaded = load_npz(str(zpath))
+    for pair in zip(multimodal_tuple(z), multimodal_tuple(zloaded)):
+        for a, b in zip(*pair):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for k in ("spectime_mean", "combined_std", "combined_time_mean"):
+        np.testing.assert_array_equal(z[k], zloaded[k])
+
+
 def test_train_test_split():
     d = make_goldstein_like(n=20, spectrum_bins=30, photometry_length=8)
     tr, te = train_test_split(d)

@@ -95,6 +95,42 @@ def test_masked_laplace_loglik_row_remainder(key):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
 
 
+def test_dropout_mask_tile_invariant(key, monkeypatch):
+    """The in-kernel dropout bit-stream is seeded per absolute 128-row block
+    (NOT per q-tile), so the forward output must be bit-identical across
+    q-tile choices — the property that legalizes asymmetric fwd/bwd tiles
+    (VAESNE_ATTN_QT_FWD/_BWD)."""
+    q, k, v, bias = _attn_inputs(key, B=1, H=2, Lq=300, Lk=64, Dh=8)
+    monkeypatch.setenv("VAESNE_ATTN_QT_FWD", "128")
+    a = fused_bhld(q, k, v, bias, rate=0.4, seed=jnp.int32(7))
+    monkeypatch.setenv("VAESNE_ATTN_QT_FWD", "384")
+    b = fused_bhld(q, k, v, bias, rate=0.4, seed=jnp.int32(7))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # sanity: the mask is actually applied
+    c = fused_bhld(q, k, v, bias, rate=0.0)
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_dropout_bwd_mask_matches_fwd(key, monkeypatch):
+    """Attention output is LINEAR in v for a fixed dropout mask, so the
+    backward kernel's directional derivative must equal the exact central
+    difference — this fails if forward and backward regenerate different
+    masks (the risk of asymmetric q-tiling)."""
+    q, k, v, bias = _attn_inputs(key, B=1, H=2, Lq=300, Lk=64, Dh=8)
+    monkeypatch.setenv("VAESNE_ATTN_QT_FWD", "384")
+    monkeypatch.setenv("VAESNE_ATTN_QT_BWD", "128")
+
+    def loss(v):
+        return jnp.sum(fused_bhld(q, k, v, bias, rate=0.4, seed=jnp.int32(3)))
+
+    g = jax.grad(loss)(v)
+    d = jax.random.normal(key, v.shape)
+    eps = 1e-2
+    lhs = (loss(v + eps * d) - loss(v - eps * d)) / (2 * eps)
+    rhs = jnp.vdot(g, d)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
+
+
 def test_fused_attention_query_tiling_edge(key):
     """Lq > Q_TILE and not divisible by it: edge-tile rows must not pollute
     dk/dv accumulation in the backward kernel."""

@@ -183,6 +183,85 @@ def test_dp_tp_step_matches_single_device(rng, key):
     assert max(jax.tree_util.tree_leaves(diffs)) < 5e-3
 
 
+@pytest.mark.slow
+def test_scan_epoch_under_mesh_matches_single_device(rng, key):
+    """The whole-epoch lax.scan program (make_scan_epoch) over mesh-sharded
+    data + replicated state must reproduce the single-device epoch (same
+    permutation, same per-step RNG chain) — extends the multi-device
+    coverage from the per-step path to the scan path the drivers use."""
+    from vaesne_tpu.training import make_scan_epoch
+
+    data = (make_photometry_batch(rng, B=32), make_spectra_batch(rng, B=32))
+    model = PhotoSpecMMVAE(
+        vaes=[PhotometricVAE(num_bands=6, **SMALL), SpectraVAE(**SMALL)]
+    )
+    params = init_model(model, data, key, K=2)
+    opt = adamw(1e-3)
+
+    def loss_fn(m, variables, b, k):
+        return objectives.m_iwae(m, variables, b, K=2, key=k, deterministic=True)
+
+    epoch = make_scan_epoch(model, opt, loss_fn)
+    state_a = TrainState.create(
+        jax.tree_util.tree_map(jnp.array, params), opt, jax.random.PRNGKey(3)
+    )
+    state_a, loss_single = epoch(state_a, data, jax.random.PRNGKey(11),
+                                 batch_size=8)
+
+    mesh = make_mesh()
+    state_b = replicate_state(
+        TrainState.create(
+            jax.tree_util.tree_map(jnp.array, params), opt, jax.random.PRNGKey(3)
+        ),
+        mesh,
+    )
+    state_b, loss_sharded = epoch(state_b, shard_batch(data, mesh),
+                                  jax.random.PRNGKey(11), batch_size=8)
+
+    np.testing.assert_allclose(loss_single, loss_sharded, rtol=2e-4)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state_a.params, state_b.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-3
+
+
+@pytest.mark.slow
+def test_scan_epoch_dp_tp_mesh(rng, key):
+    """The scan-epoch program also runs under the dryrun's dp×tp (4×2) mesh
+    with tensor-parallel parameter sharding and matches single-device."""
+    from vaesne_tpu.parallel import shard_state_tp
+    from vaesne_tpu.training import make_scan_epoch
+
+    data = (make_photometry_batch(rng, B=16), make_spectra_batch(rng, B=16))
+    model = PhotoSpecMMVAE(
+        vaes=[PhotometricVAE(num_bands=6, **SMALL), SpectraVAE(**SMALL)]
+    )
+    params = init_model(model, data, key, K=2)
+    opt = adamw(1e-3, flatten=False)  # TP needs param-shaped moments
+
+    def loss_fn(m, variables, b, k):
+        return objectives.m_iwae(m, variables, b, K=2, key=k, deterministic=True)
+
+    epoch = make_scan_epoch(model, opt, loss_fn)
+    state_a = TrainState.create(
+        jax.tree_util.tree_map(jnp.array, params), opt, jax.random.PRNGKey(3)
+    )
+    state_a, loss_single = epoch(state_a, data, jax.random.PRNGKey(11),
+                                 batch_size=8)
+
+    mesh = make_mesh(data=4, model=2)
+    state_b = shard_state_tp(
+        TrainState.create(
+            jax.tree_util.tree_map(jnp.array, params), opt, jax.random.PRNGKey(3)
+        ),
+        opt,
+        mesh,
+    )
+    state_b, loss_tp = epoch(state_b, shard_batch(data, mesh),
+                             jax.random.PRNGKey(11), batch_size=8)
+    np.testing.assert_allclose(loss_single, loss_tp, rtol=2e-4)
+
+
 def test_tp_divisibility_check(rng, key):
     """embed 16 over a 2-way model axis is fine; a 3-way axis must raise."""
     from vaesne_tpu.parallel import shard_params_tp

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,27 +42,55 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-Q_TILE = 512
+# Default q-tile cap. 1024 makes the 982-token decoder grid a SINGLE block
+# in both directions — measured 683 -> 645 ms/step at the flagship bench
+# point vs 512 (the per-tile softmax/dropout recompute in the backward
+# dk/dv accumulation disappears; scripts/ab_attention.py, 2026-08-17).
+# Legal at any fwd/bwd tile combination because the dropout bit-stream is
+# seeded per absolute 128-row block (see _dropout_mask).
+Q_TILE = 1024
 
 
-def _q_tile(lq: int) -> int:
+def _tile_cap(env_var: str) -> int:
+    """Per-direction q-tile cap override (A/B hook): VAESNE_ATTN_QT_FWD /
+    VAESNE_ATTN_QT_BWD, read at trace time like VAESNE_PALLAS."""
+    v = os.environ.get(env_var)
+    if not v:
+        return Q_TILE
+    cap = int(v)
+    if cap % 128:
+        raise ValueError(f"{env_var}={cap} must be a multiple of 128")
+    return cap
+
+
+def _q_tile(lq: int, cap: int = Q_TILE) -> int:
     """Adaptive query tile: the query axis is a LANE axis in the packed
-    layout, so tiles are 128-aligned; Q_TILE caps the backward-pass VMEM
+    layout, so tiles are 128-aligned; the cap bounds the per-block VMEM
     temps on the long 982-token decoder grids."""
-    return min(Q_TILE, max(128, -(-lq // 128) * 128))
+    return min(cap, max(128, -(-lq // 128) * 128))
 
 
-def _dropout_mask(seed_ref, shape, rate):
-    """Regenerate the per-block dropout keep-mask from the block-indexed seed.
+def _dropout_mask(seed_ref, shape, rate, qt):
+    """Regenerate the dropout keep-mask for this query tile.
 
-    Identical in forward and backward (same seed arithmetic, same shape) so
-    the masks match bit-for-bit without storing them.
+    Bits are generated per absolute 128-row block — seeded by (batch, head,
+    absolute-row-block), NOT by the q-tile index — so the mask stream is
+    invariant to the query tiling: forward and backward may legally run
+    different q-tile sizes (VAESNE_ATTN_QT_FWD/_BWD) and still regenerate
+    bit-identical masks without storing them.
     """
     b, h, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    block = (b * pl.num_programs(1) + h) * pl.num_programs(2) + t
-    pltpu.prng_seed(seed_ref[0] + block)
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    base = b * pl.num_programs(1) + h
+    nrb = qt // 128  # qt is 128-aligned (_q_tile)
     threshold = jnp.uint32(min(rate, 1.0) * 4294967295.0)
+    rows = []
+    for i in range(nrb):
+        # row-block stride 1024 gives each (batch, head) a tiling-
+        # independent seed namespace; supports Lq up to 128*1024 tokens
+        pltpu.prng_seed(seed_ref[0] + base * 1024 + t * nrb + i)
+        rows.append(pltpu.bitcast(
+            pltpu.prng_random_bits((128, shape[1])), jnp.uint32))
+    bits = rows[0] if nrb == 1 else jnp.concatenate(rows, axis=0)
     return bits >= threshold
 
 
@@ -91,7 +120,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, rate, lq, qt)
     s = s + bias[None, :]
     p = jax.nn.softmax(s, axis=-1)
     if rate > 0.0:
-        keep = _dropout_mask(seed_ref, p.shape, rate)
+        keep = _dropout_mask(seed_ref, p.shape, rate, qt)
         p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - rate))
     # o [Dh, qt] = v [Dh, Lk] @ p^T [Lk, qt]
     o_ref[0] = jax.lax.dot_general(
@@ -117,7 +146,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     s = s + bias[None, :]
     p = jax.nn.softmax(s, axis=-1)  # recomputed, [qt, Lk]
     if rate > 0.0:
-        keep = _dropout_mask(seed_ref, p.shape, rate)
+        keep = _dropout_mask(seed_ref, p.shape, rate, qt)
         inv = 1.0 / (1.0 - rate)
         p_drop = jnp.where(keep, p, 0.0) * inv
     else:
@@ -192,6 +221,16 @@ def _seed_arr(seed):
     return jnp.asarray(seed, jnp.int32).reshape((1,))
 
 
+def _interp_mode(interpret, rate):
+    """Generic pallas interpret mode cannot lower the TPU PRNG primitives
+    (prng_seed/prng_random_bits); the dropout path under interpret=True uses
+    the TPU-interpret emulator instead so CPU tests cover the dropout
+    kernels too."""
+    if interpret and rate > 0.0:
+        return pltpu.InterpretParams()
+    return interpret
+
+
 def _attention_fwd_impl(q, k, v, bias, num_heads, rate, interpret, seed):
     if rate > 0.0 and seed is None:
         raise ValueError("fused_attention: dropout_rate > 0 requires a seed")
@@ -200,7 +239,7 @@ def _attention_fwd_impl(q, k, v, bias, num_heads, rate, interpret, seed):
     if E % num_heads != 0:
         raise ValueError(f"E={E} not divisible by num_heads={num_heads}")
     dh = E // num_heads
-    qt = _q_tile(Lq)
+    qt = _q_tile(Lq, _tile_cap("VAESNE_ATTN_QT_FWD"))
     n_tiles = pl.cdiv(Lq, qt)
     qspec, kspec, bspec, sspec = _specs(dh, Lk, qt)
     kernel = functools.partial(_fwd_kernel, rate=rate, lq=Lq, qt=qt)
@@ -210,7 +249,7 @@ def _attention_fwd_impl(q, k, v, bias, num_heads, rate, interpret, seed):
         in_specs=[sspec, qspec, kspec, kspec, bspec],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        interpret=interpret,
+        interpret=_interp_mode(interpret, rate),
     )(_seed_arr(seed), q, k, v, bias[:, None, :])
 
 
@@ -226,7 +265,7 @@ def _attention_bwd(num_heads, rate, interpret, res, do):
     B, E, Lq = q.shape
     Lk = k.shape[2]
     dh = E // num_heads
-    qt = _q_tile(Lq)
+    qt = _q_tile(Lq, _tile_cap("VAESNE_ATTN_QT_BWD"))
     n_tiles = pl.cdiv(Lq, qt)
     qspec, kspec, bspec, sspec = _specs(dh, Lk, qt)
     kernel = functools.partial(_bwd_kernel, rate=rate, lq=Lq, qt=qt)
@@ -240,7 +279,7 @@ def _attention_bwd(num_heads, rate, interpret, res, do):
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
-        interpret=interpret,
+        interpret=_interp_mode(interpret, rate),
     )(_seed_arr(seed), q, k, v, bias[:, None, :], do)
     return dq, dk, dv, jnp.zeros_like(bias), None
 
