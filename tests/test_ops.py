@@ -131,6 +131,26 @@ def test_dropout_bwd_mask_matches_fwd(key, monkeypatch):
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
 
 
+@pytest.mark.parametrize("bits", ["8", "16", "32"])
+def test_dropout_keep_rate_statistics(key, monkeypatch, bits):
+    """At every PRNG width the realized drop fraction must match the
+    (width-quantized) rate: E[dropped] = round(rate * 2^w) / 2^w, binomial
+    CI over ~38k logits. Catches threshold/bitcast layout mistakes."""
+    monkeypatch.setenv("VAESNE_DROPOUT_BITS", bits)
+    rate = 0.3
+    q, k, v, bias = _attn_inputs(key, B=1, H=1, Lq=128, Lk=300, Dh=4)
+    v = jnp.ones_like(v)
+    base = fused_bhld(q, k, v, bias, rate=0.0)
+    # with v = 1, o_ij = sum_k p_ik: dropping multiplies each kept prob by
+    # inv, so sum(o_drop)/inv / sum(o_base) estimates the keep fraction
+    # under the p-weighted measure (p is independent of the keep mask)
+    drop = fused_bhld(q, k, v, bias, rate=rate, seed=jnp.int32(11))
+    w = int(bits)
+    expected_keep = 1.0 - round(rate * 2.0**w) / 2.0**w
+    realized = float(jnp.sum(drop) * (1.0 - rate) / jnp.sum(base))
+    assert abs(realized - expected_keep) < 0.02, (realized, expected_keep)
+
+
 def test_fused_attention_query_tiling_edge(key):
     """Lq > Q_TILE and not divisible by it: edge-tile rows must not pollute
     dk/dv accumulation in the backward kernel."""

@@ -63,14 +63,65 @@ def _tile_cap(env_var: str) -> int:
     return cap
 
 
-def _q_tile(lq: int, cap: int = Q_TILE) -> int:
+def _q_tile(lq: int, env_var: str, dtype) -> int:
     """Adaptive query tile: the query axis is a LANE axis in the packed
     layout, so tiles are 128-aligned; the cap bounds the per-block VMEM
-    temps on the long 982-token decoder grids."""
+    temps on the long 982-token decoder grids.
+
+    The default cap is dtype-aware: 1024 for bf16 inputs (measured fastest,
+    fits scoped VMEM), 512 for fp32 — fp32 operands under
+    ``jax_default_matmul_precision=highest`` add operand-split temporaries
+    that push a 1024-row backward block past the 16 MB scoped-VMEM limit
+    (observed: 21.6 MB). An explicit VAESNE_ATTN_QT_* env always wins."""
+    cap = _tile_cap(env_var)
+    if os.environ.get(env_var) is None and jnp.dtype(dtype).itemsize >= 4:
+        cap = min(cap, 512)
     return min(cap, max(128, -(-lq // 128) * 128))
 
 
-def _dropout_mask(seed_ref, shape, rate, qt):
+def _dropout_bits() -> int:
+    """Random-value width for the dropout threshold test (trace-time env
+    knob, like the q-tile caps). One PRNG draw is 32 bits; at width w the
+    kernel draws 128*w/32 sublanes of uint32 per 128-row block and bitcasts
+    to 128 sublanes of uint{w} — so 16/8 cut the PRNG work 2x/4x. The cost
+    is keep-probability resolution: the drop rate is quantized to 1/2^w
+    (w=16: |err| <= 7.6e-6, far below run-to-run sampling noise; w=8:
+    <= 2e-3, e.g. rate 0.1 -> 26/256 = 0.1016).
+
+    Default 32: the configuration whose end-to-end throughput is measured
+    (bench 2026-08-17). 16 and 8 pass the full on-hardware property suite
+    (scripts/check_kernel_tpu.py: keep-rate statistics, fwd+bwd q-tile
+    invariance, fwd/bwd mask agreement) but their throughput delta is not
+    yet measured — flip the default only with an A/B number."""
+    w = int(os.environ.get("VAESNE_DROPOUT_BITS", "32"))
+    if w not in (8, 16, 32):
+        raise ValueError(f"VAESNE_DROPOUT_BITS={w} must be 8, 16 or 32")
+    return w
+
+
+_UDTYPE = {8: jnp.uint8, 16: jnp.uint16, 32: jnp.uint32}
+
+
+def _hash_bits(block_seed, shape):
+    """Software counter-based bits (murmur3-style finalizer) for interpret
+    mode: the TPU-interpret emulator returns all-zero ``prng_random_bits``,
+    which would make every CPU dropout test vacuous (all-drop masks). Bits
+    are a pure function of (block seed, row, col) — the same invariance
+    contract as the hardware stream."""
+    i = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = (block_seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+         ^ (i + jnp.uint32(1)) * jnp.uint32(0x85EBCA6B)
+         ^ (j + jnp.uint32(1)) * jnp.uint32(0xC2B2AE35))
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _dropout_mask(seed_ref, shape, rate, qt, interpret):
     """Regenerate the dropout keep-mask for this query tile.
 
     Bits are generated per absolute 128-row block — seeded by (batch, head,
@@ -78,20 +129,40 @@ def _dropout_mask(seed_ref, shape, rate, qt):
     invariant to the query tiling: forward and backward may legally run
     different q-tile sizes (VAESNE_ATTN_QT_FWD/_BWD) and still regenerate
     bit-identical masks without storing them.
+
+    ``VAESNE_DROPOUT_BITS`` (default 16) sets the random-value width: one
+    hardware draw is 32 bits, so width w generates 128*w/32 uint32 sublanes
+    per 128-row block and bitcasts to 128 sublanes of uint{w} — 16/8 cut
+    the PRNG work 2x/4x vs 32 at a drop-rate quantization of 1/2^w
+    (see ``_dropout_bits``).
     """
     b, h, t = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     base = b * pl.num_programs(1) + h
     nrb = qt // 128  # qt is 128-aligned (_q_tile)
-    threshold = jnp.uint32(min(rate, 1.0) * 4294967295.0)
+    w = _dropout_bits()
+    # keep iff bits >= threshold: drop probability = round(rate*2^w) / 2^w
+    thr = min(round(rate * 2.0**w), 2**w - 1)
     rows = []
     for i in range(nrb):
         # row-block stride 1024 gives each (batch, head) a tiling-
         # independent seed namespace; supports Lq up to 128*1024 tokens
-        pltpu.prng_seed(seed_ref[0] + base * 1024 + t * nrb + i)
-        rows.append(pltpu.bitcast(
-            pltpu.prng_random_bits((128, shape[1])), jnp.uint32))
+        block_seed = seed_ref[0] + base * 1024 + t * nrb + i
+        if interpret:
+            bits32 = _hash_bits(block_seed, (128, shape[1]))
+            rows.append((bits32 >> (32 - w)).astype(_UDTYPE[w]))
+        else:
+            pltpu.prng_seed(block_seed)
+            draws = pltpu.prng_random_bits((128 * w // 32, shape[1]))
+            # uint32 -> uint{w} bitcast scales the sublane dim back to 128
+            rows.append(pltpu.bitcast(draws, _UDTYPE[w]))
     bits = rows[0] if nrb == 1 else jnp.concatenate(rows, axis=0)
-    return bits >= threshold
+    if w == 32 or interpret:
+        return bits >= _UDTYPE[w](thr)
+    # Mosaic has no compare (signed or unsigned) on packed narrow (i16/i8)
+    # vectors ("Target does not support this comparison"): zero-extend to
+    # i32 and compare there. The win of a narrow width is fewer PRNG draws;
+    # the extend is one cheap VPU convert per element.
+    return bits.astype(jnp.int32) >= jnp.int32(thr)
 
 
 def _valid_mask(lq, qt, shape, axis):
@@ -108,7 +179,8 @@ def _valid_mask(lq, qt, shape, axis):
     return pos + t * qt < lq
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, rate, lq, qt):
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                rate, lq, qt, interpret=False):
     q = q_ref[0]  # [Dh, qt]   (packed-transposed layout)
     k = k_ref[0]  # [Dh, Lk]
     v = v_ref[0]
@@ -120,16 +192,21 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, rate, lq, qt)
     s = s + bias[None, :]
     p = jax.nn.softmax(s, axis=-1)
     if rate > 0.0:
-        keep = _dropout_mask(seed_ref, p.shape, rate, qt)
-        p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - rate))
-    # o [Dh, qt] = v [Dh, Lk] @ p^T [Lk, qt]
-    o_ref[0] = jax.lax.dot_general(
+        keep = _dropout_mask(seed_ref, p.shape, rate, qt, interpret)
+        p = jnp.where(keep, p, 0.0)
+    # o [Dh, qt] = v [Dh, Lk] @ p^T [Lk, qt]; the dropout 1/(1-rate)
+    # rescale is folded onto the [Dh, qt] matmul output instead of the
+    # [qt, Lk] probabilities — 123x fewer multiplies at Lk=982, Dh=8
+    o = jax.lax.dot_general(
         v, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    )
+    if rate > 0.0:
+        o = o * (1.0 / (1.0 - rate))
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, rate, lq, qt):
+                dq_ref, dk_ref, dv_ref, *, rate, lq, qt, interpret=False):
     # q/do columns beyond lq hold undefined data (can be NaN/inf): zero at
     # load so 0-weighted contributions stay 0 (0*NaN == NaN).
     vcol = _valid_mask(lq, qt, q_ref[0].shape, 1)  # [Dh, qt]
@@ -145,23 +222,25 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     ) * scale
     s = s + bias[None, :]
     p = jax.nn.softmax(s, axis=-1)  # recomputed, [qt, Lk]
+    inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
     if rate > 0.0:
-        keep = _dropout_mask(seed_ref, p.shape, rate, qt)
-        inv = 1.0 / (1.0 - rate)
-        p_drop = jnp.where(keep, p, 0.0) * inv
+        keep = _dropout_mask(seed_ref, p.shape, rate, qt, interpret)
+        p_masked = jnp.where(keep, p, 0.0)  # p_drop without the inv rescale
     else:
-        p_drop = p
+        p_masked = p
     vrow = _valid_mask(lq, qt, p.shape, 0)  # [qt, Lk]
-    p_acc = jnp.where(vrow, p_drop, 0.0)
+    p_acc = jnp.where(vrow, p_masked, 0.0)
     # dp_drop [qt, Lk] = do^T v  (contract Dh)
     dp_drop = jax.lax.dot_general(
         do, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     if rate > 0.0:
-        dp = jnp.where(keep, dp_drop, 0.0) * inv
+        dp = jnp.where(keep, dp_drop, 0.0)  # dp / inv
     else:
         dp = dp_drop
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    # dp enters the softmax backward linearly, so the dropout inv rescale
+    # folds into the scalar (scale * inv) — never a [qt, Lk] multiply
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * (scale * inv)
     ds = jnp.where(vrow, ds, 0.0)
     # dq [Dh, qt] = k @ ds^T
     dq_ref[0] = jax.lax.dot_general(
@@ -175,13 +254,17 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    # dk [Dh, Lk] = q @ ds ; dv [Dh, Lk] = do @ p_acc
+    # dk [Dh, Lk] = q @ ds ; dv [Dh, Lk] = do @ p_acc * inv (the dropout
+    # rescale of p_drop folded onto the [Dh, Lk] matmul output)
     dk_ref[0] += jax.lax.dot_general(
         q, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dk_ref.dtype)
-    dv_ref[0] += jax.lax.dot_general(
+    dv = jax.lax.dot_general(
         do, p_acc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dv_ref.dtype)
+    )
+    if rate > 0.0:
+        dv = dv * inv
+    dv_ref[0] += dv.astype(dv_ref.dtype)
 
 
 def _specs(dh, Lk, qt):
@@ -221,16 +304,6 @@ def _seed_arr(seed):
     return jnp.asarray(seed, jnp.int32).reshape((1,))
 
 
-def _interp_mode(interpret, rate):
-    """Generic pallas interpret mode cannot lower the TPU PRNG primitives
-    (prng_seed/prng_random_bits); the dropout path under interpret=True uses
-    the TPU-interpret emulator instead so CPU tests cover the dropout
-    kernels too."""
-    if interpret and rate > 0.0:
-        return pltpu.InterpretParams()
-    return interpret
-
-
 def _attention_fwd_impl(q, k, v, bias, num_heads, rate, interpret, seed):
     if rate > 0.0 and seed is None:
         raise ValueError("fused_attention: dropout_rate > 0 requires a seed")
@@ -239,17 +312,18 @@ def _attention_fwd_impl(q, k, v, bias, num_heads, rate, interpret, seed):
     if E % num_heads != 0:
         raise ValueError(f"E={E} not divisible by num_heads={num_heads}")
     dh = E // num_heads
-    qt = _q_tile(Lq, _tile_cap("VAESNE_ATTN_QT_FWD"))
+    qt = _q_tile(Lq, "VAESNE_ATTN_QT_FWD", q.dtype)
     n_tiles = pl.cdiv(Lq, qt)
     qspec, kspec, bspec, sspec = _specs(dh, Lk, qt)
-    kernel = functools.partial(_fwd_kernel, rate=rate, lq=Lq, qt=qt)
+    kernel = functools.partial(_fwd_kernel, rate=rate, lq=Lq, qt=qt,
+                               interpret=bool(interpret))
     return pl.pallas_call(
         kernel,
         grid=(B, num_heads, n_tiles),
         in_specs=[sspec, qspec, kspec, kspec, bspec],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        interpret=_interp_mode(interpret, rate),
+        interpret=interpret,
     )(_seed_arr(seed), q, k, v, bias[:, None, :])
 
 
@@ -265,10 +339,11 @@ def _attention_bwd(num_heads, rate, interpret, res, do):
     B, E, Lq = q.shape
     Lk = k.shape[2]
     dh = E // num_heads
-    qt = _q_tile(Lq, _tile_cap("VAESNE_ATTN_QT_BWD"))
+    qt = _q_tile(Lq, "VAESNE_ATTN_QT_BWD", q.dtype)
     n_tiles = pl.cdiv(Lq, qt)
     qspec, kspec, bspec, sspec = _specs(dh, Lk, qt)
-    kernel = functools.partial(_bwd_kernel, rate=rate, lq=Lq, qt=qt)
+    kernel = functools.partial(_bwd_kernel, rate=rate, lq=Lq, qt=qt,
+                               interpret=bool(interpret))
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(B, num_heads, n_tiles),
@@ -279,7 +354,7 @@ def _attention_bwd(num_heads, rate, interpret, res, do):
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
-        interpret=_interp_mode(interpret, rate),
+        interpret=interpret,
     )(_seed_arr(seed), q, k, v, bias[:, None, :], do)
     return dq, dk, dv, jnp.zeros_like(bias), None
 
