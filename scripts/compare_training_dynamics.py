@@ -100,6 +100,10 @@ def torch_run(batches, state_dict):
 def jax_run(batches, state_dict, mc_probe_keys=8):
     import jax
 
+    if os.environ.get("JAX_PLATFORMS"):
+        # the env var alone does not stick under the axon TPU plugin —
+        # config.update is the authoritative override (tests/conftest.py)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     # TPU matmuls default to reduced-precision passes; parity comparisons
     # need true fp32 (same setting the golden-parity conftest pins)
     jax.config.update("jax_default_matmul_precision", "highest")
@@ -132,12 +136,12 @@ def jax_run(batches, state_dict, mc_probe_keys=8):
     step = make_train_step(model, opt, loss_fn)
 
     # MC noise floor: loss spread at the initial params across fresh keys
-    probe = [
-        float(objectives.m_iwae(model, {"params": params}, jbatches[0], K=K,
-                                key=jax.random.PRNGKey(1000 + i),
-                                deterministic=False))
-        for i in range(mc_probe_keys)
-    ]
+    # (jitted once — eager m_iwae at these shapes is minutes per call on CPU)
+    probe_fn = jax.jit(lambda k: objectives.m_iwae(
+        model, {"params": params}, jbatches[0], K=K, key=k,
+        deterministic=False))
+    probe = [float(probe_fn(jax.random.PRNGKey(1000 + i)))
+             for i in range(mc_probe_keys)]
     mc_rel = float(np.std(probe) / abs(np.mean(probe)))
 
     # step returns -loss_fn, the same minimized quantity torch_run records
