@@ -151,6 +151,22 @@ def test_dropout_keep_rate_statistics(key, monkeypatch, bits):
     assert abs(realized - expected_keep) < 0.02, (realized, expected_keep)
 
 
+def test_q_tile_dtype_aware_cap(monkeypatch):
+    """Default cap: 1024 for bf16, 512 for fp32 (scoped-VMEM limit under
+    matmul_precision=highest); an explicit env override always wins."""
+    from vaesne_tpu.ops.attention import _q_tile
+
+    monkeypatch.delenv("VAESNE_ATTN_QT_FWD", raising=False)
+    assert _q_tile(982, "VAESNE_ATTN_QT_FWD", jnp.bfloat16) == 1024
+    assert _q_tile(982, "VAESNE_ATTN_QT_FWD", jnp.float32) == 512
+    assert _q_tile(300, "VAESNE_ATTN_QT_FWD", jnp.float32) == 384
+    monkeypatch.setenv("VAESNE_ATTN_QT_FWD", "1024")
+    assert _q_tile(982, "VAESNE_ATTN_QT_FWD", jnp.float32) == 1024
+    monkeypatch.setenv("VAESNE_ATTN_QT_FWD", "100")
+    with pytest.raises(ValueError):
+        _q_tile(982, "VAESNE_ATTN_QT_FWD", jnp.float32)
+
+
 def test_fused_attention_query_tiling_edge(key):
     """Lq > Q_TILE and not divisible by it: edge-tile rows must not pollute
     dk/dv accumulation in the backward kernel."""
