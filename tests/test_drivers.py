@@ -203,3 +203,37 @@ def test_ztf_npz_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
     # ZTF is 2-band: band indices must stay in range
     assert int(np.asarray(loaded["photowavelength"]).max()) < 2
+
+
+@pytest.mark.slow
+def test_driver_accum_parity_resume_cli(tmp_path):
+    """The round-2 TrainConfig features are reachable from a real driver CLI
+    in combination: train.accum_steps=2 (scanned gradient accumulation),
+    train.parity=true (reference dynamics: no clipping, one-shot
+    augmentation), then train.resume=true continues the SAME run — the
+    loss history extends instead of restarting and training stays finite."""
+    from vaesne_tpu.data import make_goldstein_like
+    from vaesne_tpu.experiments.train_photospectra import main
+
+    data = make_goldstein_like(n=24, seed=0, spectrum_bins=48,
+                               photometry_length=16)
+    npz = os.path.join(tmp_path, "goldstein.npz")
+    np.savez(npz, **data)
+
+    common = [
+        f"data={npz}",
+        "model.latent_len=2", "model.num_layers=1", "model.model_dim=16",
+        "model.num_heads=2", "model.ff_dim=16",
+        "train.batch_size=8", "train.K=1", "train.save_every=1",
+        "train.accum_steps=2", "train.parity=true",
+        f"train.ckpt_dir={tmp_path}", f"train.log_dir={tmp_path}",
+    ]
+    state1, losses1 = main(common + ["train.epochs=1"])
+    assert len(losses1) == 1 and np.isfinite(losses1).all()
+    assert int(state1.step) == 2  # 16 train samples / batch 8 = 2 updates
+
+    state2, losses2 = main(common + ["train.epochs=3", "train.resume=true"])
+    assert len(losses2) == 3, "resume must extend the loss history, not restart"
+    assert losses2[0] == losses1[0]
+    assert np.isfinite(losses2).all()
+    assert int(state2.step) == 6
