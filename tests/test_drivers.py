@@ -237,3 +237,34 @@ def test_driver_accum_parity_resume_cli(tmp_path):
     assert losses2[0] == losses1[0]
     assert np.isfinite(losses2).all()
     assert int(state2.step) == 6
+
+
+@pytest.mark.slow
+def test_bench_contract_cpu(tmp_path, capsys, monkeypatch):
+    """bench.py is the driver's measurement contract: its child mode must
+    print EXACTLY one JSON line with the required keys. Run in-process at a
+    tiny batch on the CPU backend (the real TPU run is the driver's job)."""
+    import json
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.syspath_prepend(repo)
+    monkeypatch.setenv("VAESNE_BENCH_CHILD", "1")
+    import bench
+
+    monkeypatch.setattr(bench, "B", 2)
+    monkeypatch.setattr(bench, "LP", 12)  # tiny grids: the conftest's
+    monkeypatch.setattr(bench, "NS", 64)  # 8-device mesh multiplies B by 8
+    monkeypatch.setattr(bench, "WARMUP_STEPS", 1)
+    monkeypatch.setattr(bench, "TIMED_STEPS", 2)
+    monkeypatch.setattr(bench, "WINDOWS", 1)
+    bench.main()
+    out = capsys.readouterr().out
+    json_lines = [l for l in out.splitlines() if l.startswith("{")]
+    assert len(json_lines) == 1, out
+    rec = json.loads(json_lines[0])
+    for k in ("metric", "value", "unit", "vs_baseline", "precision"):
+        assert k in rec, k
+    assert rec["unit"] == "samples/sec" and rec["value"] > 0
+    # the audited FLOPs constant must stay wired for the mfu_pct field
+    assert bench.FLOPS_PER_SAMPLE and bench.FLOPS_PER_SAMPLE > 1e9
