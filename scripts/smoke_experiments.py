@@ -11,6 +11,12 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+import jax  # noqa: E402
+
+# the env var alone does not stick under the axon TPU plugin — the config
+# update is the authoritative override (same pattern as tests/conftest.py)
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 COMMON = ["train.epochs=2", "train.batch_size=8", "train.save_every=2",
           "train.ckpt_dir=/tmp/smoke_ck", "train.log_dir=/tmp/smoke_lg"]
 
