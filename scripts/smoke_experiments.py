@@ -16,7 +16,10 @@ import sys
 import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard assign, NOT setdefault: the session environment pins JAX_PLATFORMS to
+# the TPU plugin, but this sweep is a CPU smoke by design (and must not
+# wedge on a dead TPU tunnel)
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 COMMON = ["train.epochs=2", "train.batch_size=8", "train.save_every=2",
           "train.ckpt_dir=/tmp/smoke_ck", "train.log_dir=/tmp/smoke_lg"]
