@@ -43,9 +43,13 @@ def _cases():
         "train_image_mnist": ("train_image",
                               COMMON + SMALL_MODEL + ["dataset=mnist",
                                                       "img_size=15"]),
-        "train_ztf_spectra": ("train_ztf_spectra", COMMON + SMALL_MODEL),
+        # repeat_factor=2 (not the reference's 10): the x10 repeat is an
+        # augmentation-epoch multiplier, pure runtime on a 1-core smoke
+        "train_ztf_spectra": ("train_ztf_spectra",
+                              COMMON + SMALL_MODEL + ["repeat_factor=2"]),
         "train_ztf_photospect": ("train_ztf_photospect",
-                                 COMMON + SMALL_MODEL + ["train.K=2"]),
+                                 COMMON + SMALL_MODEL
+                                 + ["train.K=2", "repeat_factor=2"]),
         "eval_goldstein": ("eval_goldstein", ["K=8", "out=/tmp/smoke_res"]),
         "eval_masking": ("eval_masking", ["K=8", "out=/tmp/smoke_res"]),
         "eval_regression": ("eval_regression",

@@ -50,7 +50,7 @@ def main(argv=None):
     state, losses = train_loop(
         model, train_data, loss_fn, cfg.train, config=cfg,
         augment_fn=augment,
-        ckpt_name=f"ztf_spectra_{m.latent_len}-{m.latent_dim}",
+        ckpt_name=f"ztf_spectra_{cfg.model.latent_len}-{cfg.model.latent_dim}",
     )
     print(f"final loss: {losses[-1]:.6f}")
     return state, losses
