@@ -167,6 +167,7 @@ def test_q_tile_dtype_aware_cap(monkeypatch):
         _q_tile(982, "VAESNE_ATTN_QT_FWD", jnp.float32)
 
 
+@pytest.mark.slow
 def test_fused_attention_query_tiling_edge(key):
     """Lq > Q_TILE and not divisible by it: edge-tile rows must not pollute
     dk/dv accumulation in the backward kernel."""

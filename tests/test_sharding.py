@@ -88,6 +88,7 @@ def test_data_parallel_step_matches_single_device(rng, key):
     assert int(new_state.step) == 1
 
 
+@pytest.mark.slow
 def test_sharded_eval_reconstruction(rng, key):
     """Batched inference sharded over the mesh — the replacement for the
     400-job SLURM eval array (spect_cond_LC.sh)."""
@@ -104,6 +105,7 @@ def test_sharded_eval_reconstruction(rng, key):
     assert bool(jnp.all(jnp.isfinite(recon)))
 
 
+@pytest.mark.slow
 def test_tensor_parallel_specs_rules(rng, key):
     """Megatron-style spec assignment: q/k/v and ffn_0 column-sharded,
     out_proj/ffn_2 row-sharded, norms/embeddings replicated."""
@@ -260,6 +262,83 @@ def test_scan_epoch_dp_tp_mesh(rng, key):
     state_b, loss_tp = epoch(state_b, shard_batch(data, mesh),
                              jax.random.PRNGKey(11), batch_size=8)
     np.testing.assert_allclose(loss_single, loss_tp, rtol=2e-4)
+
+
+class TestPallasPathSharding:
+    """Round-3 closure of the round-2 gap: the PRODUCTION Pallas dispatch
+    path (fused attention + masked-Laplace kernels, custom-partitioning
+    wrapped — ops/partition.py) must itself partition over a dp mesh, not
+    just the XLA fallback. Runs the real dispatch under interpret mode
+    (VAESNE_PALLAS=1 + VAESNE_PALLAS_INTERPRET=1) on the virtual 8-device
+    CPU mesh. Spectra length 256 crosses both kernel routing thresholds
+    (attention: lq*lk >= 2^16; laplace: N >= 128)."""
+
+    def _model_and_batch(self, rng, key, B=8):
+        batch = (make_photometry_batch(rng, B=B),
+                 make_spectra_batch(rng, B=B, N=256))
+        model = PhotoSpecMMVAE(
+            vaes=[PhotometricVAE(num_bands=6, **SMALL),
+                  SpectraVAE(**{**SMALL, "dropout": 0.1})]
+        )
+        params = init_model(model, batch, key, K=1)
+        return model, batch, params
+
+    @pytest.mark.slow
+    def test_sharded_pallas_loss_matches_single_device_xla(
+            self, rng, key, monkeypatch):
+        model, batch, params = self._model_and_batch(rng, key)
+
+        def loss(p, b):
+            return objectives.m_iwae(model, {"params": p}, b, K=1,
+                                     key=jax.random.PRNGKey(5),
+                                     deterministic=True)
+
+        monkeypatch.setenv("VAESNE_PALLAS", "0")
+        loss_xla = jax.jit(loss)(params, batch)
+
+        monkeypatch.setenv("VAESNE_PALLAS", "1")
+        monkeypatch.setenv("VAESNE_PALLAS_INTERPRET", "1")
+        mesh = make_mesh()
+        sharded = shard_batch(batch, mesh)
+        jaxpr = str(jax.make_jaxpr(loss)(params, sharded))
+        assert "pallas" in jaxpr or "custom_partitioning" in jaxpr, (
+            "dispatch did not route to the Pallas kernel — the test would "
+            "only re-cover the XLA fallback")
+        loss_sharded = jax.jit(loss)(params, sharded)
+        np.testing.assert_allclose(float(loss_xla), float(loss_sharded),
+                                   rtol=2e-4)
+
+    @pytest.mark.slow
+    def test_sharded_pallas_train_step_no_allgather(
+            self, rng, key, monkeypatch):
+        """The compiled dp train step through the kernels must contain NO
+        all-gather: each shard runs its batch rows locally (grad all-reduce
+        is the only expected collective). Dropout active — the in-kernel
+        PRNG path (per-shard seed decorrelation) is part of the program."""
+        monkeypatch.setenv("VAESNE_PALLAS", "1")
+        monkeypatch.setenv("VAESNE_PALLAS_INTERPRET", "1")
+        model, batch, params = self._model_and_batch(rng, key)
+        opt = adamw(1e-3)
+        state = TrainState.create(params, opt, jax.random.PRNGKey(7))
+
+        def loss_fn(m, variables, b, k):
+            return objectives.m_iwae(m, variables, b, K=1, key=k,
+                                     deterministic=False)
+
+        step = make_train_step(model, opt, loss_fn)
+        mesh = make_mesh()
+        state = replicate_state(state, mesh)
+        sharded = shard_batch(batch, mesh)
+        compiled = jax.jit(step.__wrapped__ if hasattr(step, "__wrapped__")
+                           else step).lower(state, sharded).compile()
+        hlo = compiled.as_text()
+        assert "all-gather" not in hlo, (
+            "dp mesh gathers the batch around the Pallas custom call — "
+            "partitioning regressed")
+        assert "all-reduce" in hlo  # the gradient reduction is still there
+        new_state, loss = compiled(state, sharded)
+        assert bool(jnp.isfinite(loss))
+        assert int(new_state.step) == 1
 
 
 def test_tp_divisibility_check(rng, key):

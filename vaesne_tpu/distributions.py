@@ -183,16 +183,24 @@ class MaskedGridLaplace:
         """Σ over all grid axes of ``log_prob(x)``, keeping the two leading
         (K, B) batch axes. ``x`` broadcasts against ``loc`` (objectives pass
         the unexpanded [B, grid] data)."""
-        from .ops import use_pallas
+        from .ops import pallas_interpret, use_pallas
         from .ops.laplace import (
             masked_laplace_loglik,
             masked_laplace_loglik_reference,
         )
 
         lead = self.loc.shape[:2]
-        loc = self.loc.reshape(lead[0] * lead[1], -1)
-        x2 = jnp.broadcast_to(x, self.loc.shape).reshape(loc.shape)
-        mask2 = jnp.broadcast_to(self.mask, self.loc.shape).reshape(loc.shape)
+        # flatten BATCH-major ([K, B, N] → [B*K, N]): decode produced these
+        # arrays batch-major and transposed to [K, B] at its exit, so the
+        # swapaxes here cancels that transpose under XLA — and a dp-sharded
+        # batch axis propagates through the merge (a K-major flatten would
+        # all-gather the batch; see base_vae.tile_leading)
+        def flat(a):
+            return jnp.swapaxes(a, 0, 1).reshape(lead[1] * lead[0], -1)
+
+        loc = flat(self.loc)
+        x2 = flat(jnp.broadcast_to(x, self.loc.shape))
+        mask2 = flat(jnp.broadcast_to(self.mask, self.loc.shape))
         n = loc.shape[-1]
         # Pallas pays off when the grid fills TPU lanes (N >= 128); tiny
         # grids (photometry N=60) pad 2x in VMEM for no win — XLA fuses the
@@ -201,12 +209,12 @@ class MaskedGridLaplace:
         if use_pallas() and n >= 128:
             out = masked_laplace_loglik(
                 loc.astype(jnp.float32), x2.astype(jnp.float32), mask2,
-                float(self.big))
+                float(self.big), pallas_interpret())
         else:
             out = masked_laplace_loglik_reference(
                 loc.astype(jnp.float32), x2.astype(jnp.float32), mask2,
                 float(self.big))
-        return out.reshape(lead)
+        return jnp.swapaxes(out.reshape(lead[1], lead[0]), 0, 1)
 
 
 Distribution = Union[Laplace, Normal, MaskedGridLaplace]

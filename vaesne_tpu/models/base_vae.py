@@ -34,8 +34,18 @@ Array = jax.Array
 
 
 def tile_leading(a: Array, K: int) -> Array:
-    """[B, ...] → [K*B, ...] by broadcasting a new leading axis (free in XLA)."""
-    return jnp.broadcast_to(a[None], (K,) + a.shape).reshape((K * a.shape[0],) + a.shape[1:])
+    """[B, ...] → [B*K, ...] by broadcasting a new SECOND axis (free in XLA).
+
+    BATCH-MAJOR row order (row b*K + k carries batch element b, sample k):
+    flattening with the batch axis MAJOR is what lets GSPMD/Shardy propagate
+    a dim-0 batch sharding straight through the merge — the K-major order
+    ([K*B], batch minor) is not representable as a sharding of the merged
+    axis, so a dp mesh would all-gather the full batch at every decoder
+    K-expansion (observed in round 3's HLO audit). Must stay consistent with
+    ``BaseVAE.decode``'s z-flatten and unflatten."""
+    return jnp.broadcast_to(
+        a[:, None], (a.shape[0], K) + a.shape[1:]
+    ).reshape((a.shape[0] * K,) + a.shape[1:])
 
 
 class BaseVAE(nn.Module):
@@ -81,14 +91,24 @@ class BaseVAE(nn.Module):
         return qz_x.mean if mean else qz_x
 
     def decode(self, zs: Array, x, deterministic: bool = True) -> Distribution:
-        """zs: [K, B, latent_len, latent_dim] → likelihood with batch [K, B, ...]."""
+        """zs: [K, B, latent_len, latent_dim] → likelihood with batch [K, B, ...].
+
+        The decoder runs on a BATCH-MAJOR flat axis (row b*K + k — see
+        ``tile_leading``): under a dp mesh the flatten then preserves dim-0
+        batch sharding (a K-major flatten forces a full-batch all-gather).
+        The exit reshape+transpose restores the [K, B] convention; for the
+        fused-likelihood path ``grid_loglik`` flattens batch-major again, so
+        XLA cancels the pair and no transpose is materialized on the hot
+        training path."""
         K, B = zs.shape[0], zs.shape[1]
-        z_flat = zs.reshape((K * B,) + zs.shape[2:])
+        z_flat = jnp.swapaxes(zs, 0, 1).reshape((B * K,) + zs.shape[2:])
         px_flat = self._dec_dist(z_flat, x, K, deterministic)
-        # unflatten the leading K·B axis of every array in the distribution
-        # pytree (loc/scale, or loc/mask for MaskedGridLaplace)
+        # unflatten the leading B·K axis of every array in the distribution
+        # pytree (loc/scale, or loc/mask for MaskedGridLaplace) back to the
+        # [K, B, ...] convention
         return jax.tree_util.tree_map(
-            lambda a: a.reshape((K, B) + a.shape[1:]), px_flat
+            lambda a: jnp.swapaxes(
+                a.reshape((B, K) + a.shape[1:]), 0, 1), px_flat
         )
 
     def _dec_dist(self, z_flat, x, K: int, deterministic: bool) -> Distribution:

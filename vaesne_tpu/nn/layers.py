@@ -236,6 +236,8 @@ class MultiHeadAttention(nn.Module):
                 seed = jax.random.randint(
                     self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max
                 )
+            from ..ops import pallas_interpret
+
             out = fused_attention(
                 q.transpose(0, 2, 1),
                 k.transpose(0, 2, 1),
@@ -243,7 +245,7 @@ class MultiHeadAttention(nn.Module):
                 bias,
                 self.num_heads,
                 rate,
-                False,
+                pallas_interpret(),
                 seed,
             ).transpose(0, 2, 1)  # [B, Lq, E]
             return nn.Dense(e, dtype=dt, name="out_proj")(out)

@@ -7,7 +7,7 @@ hardware (small-model attention is fusion-bound, not MXU-bound).
 """
 
 from .attention import attention_reference, fused_attention
-from .dispatch import use_pallas
+from .dispatch import pallas_interpret, use_pallas
 from .laplace import masked_laplace_loglik, masked_laplace_loglik_reference
 
 __all__ = [
@@ -16,4 +16,5 @@ __all__ = [
     "masked_laplace_loglik",
     "masked_laplace_loglik_reference",
     "use_pallas",
+    "pallas_interpret",
 ]

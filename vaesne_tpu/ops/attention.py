@@ -130,7 +130,7 @@ def _dropout_mask(seed_ref, shape, rate, qt, interpret):
     different q-tile sizes (VAESNE_ATTN_QT_FWD/_BWD) and still regenerate
     bit-identical masks without storing them.
 
-    ``VAESNE_DROPOUT_BITS`` (default 16) sets the random-value width: one
+    ``VAESNE_DROPOUT_BITS`` (default 32) sets the random-value width: one
     hardware draw is 32 bits, so width w generates 128*w/32 uint32 sublanes
     per 128-row block and bitcasts to 128 sublanes of uint{w} — 16/8 cut
     the PRNG work 2x/4x vs 32 at a drop-rate quantization of 1/2^w
@@ -179,6 +179,15 @@ def _valid_mask(lq, qt, shape, axis):
     return pos + t * qt < lq
 
 
+def _ab_unfold() -> bool:
+    """A/B-ONLY trace-time knob (``VAESNE_AB_UNFOLD=1``): apply the dropout
+    1/(1-rate) rescale elementwise on the [qt, Lk] probability tiles instead
+    of folding it onto matmul outputs/scalars — the exact variant the folded
+    default replaced, kept so ``scripts/ab_attention.py`` can measure the
+    fold's end-to-end delta honestly. Never set in production."""
+    return os.environ.get("VAESNE_AB_UNFOLD", "0") not in ("0", "false")
+
+
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
                 rate, lq, qt, interpret=False):
     q = q_ref[0]  # [Dh, qt]   (packed-transposed layout)
@@ -191,16 +200,19 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
     ) * (1.0 / math.sqrt(dh))  # [qt, Lk]
     s = s + bias[None, :]
     p = jax.nn.softmax(s, axis=-1)
+    unfold = rate > 0.0 and _ab_unfold()
     if rate > 0.0:
         keep = _dropout_mask(seed_ref, p.shape, rate, qt, interpret)
         p = jnp.where(keep, p, 0.0)
+        if unfold:  # A/B-only: rescale on the [qt, Lk] probabilities
+            p = p * (1.0 / (1.0 - rate))
     # o [Dh, qt] = v [Dh, Lk] @ p^T [Lk, qt]; the dropout 1/(1-rate)
     # rescale is folded onto the [Dh, qt] matmul output instead of the
     # [qt, Lk] probabilities — 123x fewer multiplies at Lk=982, Dh=8
     o = jax.lax.dot_general(
         v, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    if rate > 0.0:
+    if rate > 0.0 and not unfold:
         o = o * (1.0 / (1.0 - rate))
     o_ref[0] = o.astype(o_ref.dtype)
 
@@ -223,9 +235,12 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     s = s + bias[None, :]
     p = jax.nn.softmax(s, axis=-1)  # recomputed, [qt, Lk]
     inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+    unfold = rate > 0.0 and _ab_unfold()
     if rate > 0.0:
         keep = _dropout_mask(seed_ref, p.shape, rate, qt, interpret)
         p_masked = jnp.where(keep, p, 0.0)  # p_drop without the inv rescale
+        if unfold:  # A/B-only: elementwise [qt, Lk] rescales, no folding
+            p_masked = p_masked * inv
     else:
         p_masked = p
     vrow = _valid_mask(lq, qt, p.shape, 0)  # [qt, Lk]
@@ -236,11 +251,14 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     )
     if rate > 0.0:
         dp = jnp.where(keep, dp_drop, 0.0)  # dp / inv
+        if unfold:
+            dp = dp * inv
     else:
         dp = dp_drop
     # dp enters the softmax backward linearly, so the dropout inv rescale
     # folds into the scalar (scale * inv) — never a [qt, Lk] multiply
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * (scale * inv)
+    ds_scale = scale if unfold else scale * inv
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * ds_scale
     ds = jnp.where(vrow, ds, 0.0)
     # dq [Dh, qt] = k @ ds^T
     dq_ref[0] = jax.lax.dot_general(
@@ -262,7 +280,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     dv = jax.lax.dot_general(
         do, p_acc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    if rate > 0.0:
+    if rate > 0.0 and not unfold:
         dv = dv * inv
     dv_ref[0] += dv.astype(dv_ref.dtype)
 
@@ -304,13 +322,10 @@ def _seed_arr(seed):
     return jnp.asarray(seed, jnp.int32).reshape((1,))
 
 
-def _attention_fwd_impl(q, k, v, bias, num_heads, rate, interpret, seed):
-    if rate > 0.0 and seed is None:
-        raise ValueError("fused_attention: dropout_rate > 0 requires a seed")
+def _fwd_pallas(seed, q, k, v, bias3, num_heads, rate, interpret):
+    """The raw forward pallas_call on (per-shard) shapes; bias3 [B, 1, Lk]."""
     B, E, Lq = q.shape
     Lk = k.shape[2]
-    if E % num_heads != 0:
-        raise ValueError(f"E={E} not divisible by num_heads={num_heads}")
     dh = E // num_heads
     qt = _q_tile(Lq, "VAESNE_ATTN_QT_FWD", q.dtype)
     n_tiles = pl.cdiv(Lq, qt)
@@ -324,7 +339,152 @@ def _attention_fwd_impl(q, k, v, bias, num_heads, rate, interpret, seed):
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
-    )(_seed_arr(seed), q, k, v, bias[:, None, :])
+    )(seed, q, k, v, bias3)
+
+
+def _bwd_pallas(seed, q, k, v, bias3, do, num_heads, rate, interpret):
+    """The raw backward pallas_call on (per-shard) shapes; bias3 [B, 1, Lk]."""
+    B, E, Lq = q.shape
+    Lk = k.shape[2]
+    dh = E // num_heads
+    qt = _q_tile(Lq, "VAESNE_ATTN_QT_BWD", q.dtype)
+    n_tiles = pl.cdiv(Lq, qt)
+    qspec, kspec, bspec, sspec = _specs(dh, Lk, qt)
+    kernel = functools.partial(_bwd_kernel, rate=rate, lq=Lq, qt=qt,
+                               interpret=bool(interpret))
+    return pl.pallas_call(
+        kernel,
+        grid=(B, num_heads, n_tiles),
+        in_specs=[sspec, qspec, kspec, kspec, bspec, qspec],
+        out_specs=(qspec, kspec, kspec),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        interpret=interpret,
+    )(seed, q, k, v, bias3, do)
+
+
+def _seed_lower_fn(inner, mesh, axes, local_b, num_heads, rate):
+    """Wrap a per-shard lowering so each shard's dropout bit-stream is
+    disjoint: the kernel seeds per (LOCAL batch, head, row-block) with
+    namespace width local_b*num_heads*1024 (see _dropout_mask), so offset
+    the seed by the shard's linearized mesh index times that width."""
+    from .partition import shard_index
+
+    def lower(seed, *args):
+        if rate > 0.0 and axes:
+            stride = jnp.int32(local_b * num_heads * 1024)
+            seed = seed + shard_index(mesh, axes) * stride
+        return inner(seed, *args)
+
+    return lower
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(num_heads, rate, interpret):
+    """custom_partitioning-wrapped forward: a dp mesh runs each batch shard's
+    pallas_call locally instead of all-gathering the global batch (see
+    ops/partition.py). Cached per static config so the registration happens
+    once per (num_heads, rate, interpret)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    from .partition import batch_axes, batch_only, replicated
+
+    @custom_partitioning
+    def fwd(seed, q, k, v, bias3):
+        return _fwd_pallas(seed, q, k, v, bias3, num_heads, rate, interpret)
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        return batch_only(mesh, arg_shapes[1].sharding, 3)
+
+    def partition(mesh, arg_shapes, result_shape):
+        qsh = arg_shapes[1].sharding
+        axes = batch_axes(qsh)
+        n_shards = 1
+        for a in axes:
+            n_shards *= mesh.shape[a]
+        local_b = arg_shapes[1].shape[0] // n_shards
+        arg_shardings = (
+            replicated(mesh),
+            batch_only(mesh, qsh, 3),
+            batch_only(mesh, qsh, 3),
+            batch_only(mesh, qsh, 3),
+            batch_only(mesh, qsh, 3),
+        )
+        out_sharding = batch_only(mesh, qsh, 3)
+        lower = _seed_lower_fn(
+            lambda seed, q, k, v, bias3: _fwd_pallas(
+                seed, q, k, v, bias3, num_heads, rate, interpret),
+            mesh, axes, local_b, num_heads, rate)
+        return mesh, lower, out_sharding, arg_shardings
+
+    fwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule="s, b e q, b e m, b e m, b o m -> b e q",
+        need_replication_factors=("s", "e", "q", "m", "o"),
+    )
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(num_heads, rate, interpret):
+    """custom_partitioning-wrapped backward (its own custom call under the
+    custom_vjp): same batch-only partitioning as the forward."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    from .partition import batch_axes, batch_only, replicated
+
+    @custom_partitioning
+    def bwd(seed, q, k, v, bias3, do):
+        return _bwd_pallas(seed, q, k, v, bias3, do, num_heads, rate,
+                           interpret)
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        b = batch_only(mesh, arg_shapes[1].sharding, 3)
+        return (b, b, b)
+
+    def partition(mesh, arg_shapes, result_shape):
+        qsh = arg_shapes[1].sharding
+        axes = batch_axes(qsh)
+        n_shards = 1
+        for a in axes:
+            n_shards *= mesh.shape[a]
+        local_b = arg_shapes[1].shape[0] // n_shards
+        b = batch_only(mesh, qsh, 3)
+        arg_shardings = (replicated(mesh), b, b, b, b, b)
+        out_shardings = (b, b, b)
+        lower = _seed_lower_fn(
+            lambda seed, q, k, v, bias3, do: _bwd_pallas(
+                seed, q, k, v, bias3, do, num_heads, rate, interpret),
+            mesh, axes, local_b, num_heads, rate)
+        return mesh, lower, out_shardings, arg_shardings
+
+    bwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=("s, b e q, b e m, b e m, b o m, b e q "
+                       "-> b e q, b e m, b e m"),
+        need_replication_factors=("s", "e", "q", "m", "o"),
+    )
+    return bwd
+
+
+def _attention_fwd_impl(q, k, v, bias, num_heads, rate, interpret, seed):
+    if rate > 0.0 and seed is None:
+        raise ValueError("fused_attention: dropout_rate > 0 requires a seed")
+    B, E, Lq = q.shape
+    if E % num_heads != 0:
+        raise ValueError(f"E={E} not divisible by num_heads={num_heads}")
+    from .partition import shard_kernels
+
+    if shard_kernels():
+        f = _fwd_partitioned(num_heads, float(rate), bool(interpret))
+        return f(_seed_arr(seed), q, k, v, bias[:, None, :])
+    return _fwd_pallas(_seed_arr(seed), q, k, v, bias[:, None, :],
+                       num_heads, rate, interpret)
 
 
 def _attention_fwd(q, k, v, bias, num_heads, rate, interpret, seed):
@@ -336,26 +496,14 @@ def _attention_fwd(q, k, v, bias, num_heads, rate, interpret, seed):
 
 def _attention_bwd(num_heads, rate, interpret, res, do):
     q, k, v, bias, seed = res
-    B, E, Lq = q.shape
-    Lk = k.shape[2]
-    dh = E // num_heads
-    qt = _q_tile(Lq, "VAESNE_ATTN_QT_BWD", q.dtype)
-    n_tiles = pl.cdiv(Lq, qt)
-    qspec, kspec, bspec, sspec = _specs(dh, Lk, qt)
-    kernel = functools.partial(_bwd_kernel, rate=rate, lq=Lq, qt=qt,
-                               interpret=bool(interpret))
-    dq, dk, dv = pl.pallas_call(
-        kernel,
-        grid=(B, num_heads, n_tiles),
-        in_specs=[sspec, qspec, kspec, kspec, bspec, qspec],
-        out_specs=(qspec, kspec, kspec),
-        out_shape=(
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-        ),
-        interpret=interpret,
-    )(_seed_arr(seed), q, k, v, bias[:, None, :], do)
+    from .partition import shard_kernels
+
+    if shard_kernels():
+        f = _bwd_partitioned(num_heads, float(rate), bool(interpret))
+        dq, dk, dv = f(_seed_arr(seed), q, k, v, bias[:, None, :], do)
+    else:
+        dq, dk, dv = _bwd_pallas(_seed_arr(seed), q, k, v, bias[:, None, :],
+                                 do, num_heads, rate, interpret)
     return dq, dk, dv, jnp.zeros_like(bias), None
 
 

@@ -19,3 +19,13 @@ def use_pallas() -> bool:
     if env is not None:
         return env not in ("0", "false", "False")
     return jax.default_backend() == "tpu"
+
+
+def pallas_interpret() -> bool:
+    """Run the production Pallas dispatch path under ``interpret=True``
+    (``VAESNE_PALLAS_INTERPRET=1``). For tests only: lets a CPU host execute
+    the exact kernel code the TPU runs — e.g. the virtual-8-device sharding
+    suite exercising the custom-partitioning wrappers — at interpreted-mode
+    speed. Production TPU runs leave this unset (compiled kernels)."""
+    return os.environ.get("VAESNE_PALLAS_INTERPRET", "0") not in (
+        "0", "false", "False")

@@ -59,17 +59,102 @@ def masked_laplace_loglik(loc: Array, x: Array, mask: Array, big: float,
     return _fwd_impl(loc, x, mask, big, interpret)
 
 
-def _fwd_impl(loc, x, mask, big, interpret):
+def _fwd_pallas(loc, x, mask, bigarr, interpret):
     R, N = loc.shape
     rows, out, bigspec = _row_specs(N)
-    res = pl.pallas_call(
+    return pl.pallas_call(
         _fwd_kernel,
         grid=(pl.cdiv(R, ROW_TILE),),
         in_specs=[rows, rows, rows, bigspec],
         out_specs=out,
         out_shape=jax.ShapeDtypeStruct((R, 1), jnp.float32),
         interpret=interpret,
-    )(loc, x, mask, jnp.asarray([big], jnp.float32))
+    )(loc, x, mask, bigarr)
+
+
+def _bwd_pallas(loc, x, mask, bigarr, g2, interpret):
+    R, N = loc.shape
+    rows, _, bigspec = _row_specs(N)
+    gspec = pl.BlockSpec((ROW_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(pl.cdiv(R, ROW_TILE),),
+        in_specs=[rows, rows, rows, bigspec, gspec],
+        out_specs=rows,
+        out_shape=jax.ShapeDtypeStruct((R, N), jnp.float32),
+        interpret=interpret,
+    )(loc, x, mask, bigarr, g2)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(interpret):
+    """Row-partitioned forward: each row reduces independently, so a batch
+    (row) sharded dp mesh runs its local rows with no collectives (same
+    mechanism as ops/attention.py; rationale in ops/partition.py)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    from .partition import batch_only, replicated
+
+    @custom_partitioning
+    def fwd(loc, x, mask, bigarr):
+        return _fwd_pallas(loc, x, mask, bigarr, interpret)
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        return batch_only(mesh, arg_shapes[0].sharding, 2)
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = batch_only(mesh, arg_shapes[0].sharding, 2)
+        return (mesh,
+                lambda loc, x, mask, bigarr: _fwd_pallas(
+                    loc, x, mask, bigarr, interpret),
+                b, (b, b, b, replicated(mesh)))
+
+    fwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule="r n, r n, r n, s -> r o",
+        need_replication_factors=("n", "s", "o"),
+    )
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    from .partition import batch_only, replicated
+
+    @custom_partitioning
+    def bwd(loc, x, mask, bigarr, g2):
+        return _bwd_pallas(loc, x, mask, bigarr, g2, interpret)
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        return batch_only(mesh, arg_shapes[0].sharding, 2)
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = batch_only(mesh, arg_shapes[0].sharding, 2)
+        return (mesh,
+                lambda loc, x, mask, bigarr, g2: _bwd_pallas(
+                    loc, x, mask, bigarr, g2, interpret),
+                b, (b, b, b, replicated(mesh), b))
+
+    bwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule="r n, r n, r n, s, r o -> r n",
+        need_replication_factors=("n", "s", "o"),
+    )
+    return bwd
+
+
+def _fwd_impl(loc, x, mask, big, interpret):
+    from .partition import shard_kernels
+
+    bigarr = jnp.asarray([big], jnp.float32)
+    if shard_kernels():
+        res = _fwd_partitioned(bool(interpret))(loc, x, mask, bigarr)
+    else:
+        res = _fwd_pallas(loc, x, mask, bigarr, interpret)
     return res[:, 0]
 
 
@@ -81,17 +166,14 @@ def _vjp_fwd(loc, x, mask, big, interpret):
 
 def _vjp_bwd(big, interpret, res, g):
     loc, x, mask = res
-    R, N = loc.shape
-    rows, _, bigspec = _row_specs(N)
-    gspec = pl.BlockSpec((ROW_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    dloc = pl.pallas_call(
-        _bwd_kernel,
-        grid=(pl.cdiv(R, ROW_TILE),),
-        in_specs=[rows, rows, rows, bigspec, gspec],
-        out_specs=rows,
-        out_shape=jax.ShapeDtypeStruct((R, N), jnp.float32),
-        interpret=interpret,
-    )(loc, x, mask, jnp.asarray([big], jnp.float32), g[:, None])
+    from .partition import shard_kernels
+
+    bigarr = jnp.asarray([big], jnp.float32)
+    if shard_kernels():
+        dloc = _bwd_partitioned(bool(interpret))(loc, x, mask, bigarr,
+                                                 g[:, None])
+    else:
+        dloc = _bwd_pallas(loc, x, mask, bigarr, g[:, None], interpret)
     return dloc, None, None
 
 
