@@ -23,6 +23,21 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache (works for the CPU backend too): the suite is
+# compile-dominated on a small host, so warm reruns skip nearly all of it.
+# Lives under tests/ (gitignored) and survives between runs.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_test_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Stable cache keys for programs containing custom_partitioning ops
+# (ops/partition.py wraps the Pallas kernels): the wrapper embeds a
+# process-local callback pointer in the HLO, which would otherwise make
+# every pytest process miss the persistent cache.
+jax.config.update("jax_remove_custom_partitioning_ptr_from_cache_key", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -22,6 +22,13 @@ if _os.environ.get("VAESNE_COMPILE_CACHE"):
     _jax.config.update("jax_compilation_cache_dir",
                        _os.environ["VAESNE_COMPILE_CACHE"])
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # The custom_partitioning wrappers around the Pallas kernels
+    # (ops/partition.py) embed a process-local callback pointer in the
+    # lowered HLO; without this flag every process computes a fresh cache
+    # key and the persistent cache never hits (observed: four distinct
+    # jit_step entries for the identical bench program).
+    _jax.config.update(
+        "jax_remove_custom_partitioning_ptr_from_cache_key", True)
 
 from . import distributions, objectives, training
 from .distributions import Laplace, Normal, kl_divergence, log_mean_exp
