@@ -13,6 +13,7 @@ from vaesne_tpu.data import (
     make_ztf_like,
     multimodal_tuple,
     photometry_tuple,
+    random_affine,
     repeat_dataset,
     spectra_tuple,
     train_test_split,
@@ -121,6 +122,39 @@ def test_augment_multimodal_jits(key):
     out = jax.jit(augment_multimodal)(key, mm)
     assert out[0][0].shape == mm[0][0].shape
     assert out[1][0].shape == mm[1][0].shape
+
+
+def test_random_affine_statistics(key):
+    """Reference parity: RandomAffine(degrees=15, translate=(.05,.05),
+    scale=(.75,1.25)) (data_util.py:60). Augmented batch differs per image,
+    stays in range/shape, and the identity transform is exact."""
+    imgs = make_images(n=8, img_size=20)
+    out = jax.jit(random_affine)(key, imgs)
+    assert out.shape == imgs.shape
+    # every image actually transformed (rotation/scale/translate all drawn
+    # from continuous ranges — exact identity has measure zero)
+    per_img = np.asarray(jnp.abs(out - imgs).max(axis=(1, 2, 3)))
+    assert (per_img > 1e-3).all()
+    # fill=-1 keeps the normalized [-1, 1] range
+    assert float(out.min()) >= -1.0 - 1e-5
+    assert float(out.max()) <= float(imgs.max()) + 1e-5
+    # degenerate parameter ranges reduce to the identity resample
+    ident = random_affine(key, imgs, degrees=0.0, translate=0.0,
+                          scale=(1.0, 1.0))
+    np.testing.assert_allclose(np.asarray(ident), np.asarray(imgs), atol=1e-5)
+
+
+def test_random_affine_is_linear_in_pixels(key):
+    """The warp is a fixed gather + constant fill for a given key, so it must
+    be affine in pixel values: warp((a+b)/2) == (warp(a)+warp(b))/2. Catches
+    any nonlinearity bug in the bilinear resample."""
+    imgs = make_images(n=2, img_size=12)
+    a, b = imgs[:1], imgs[1:]
+    mixed = random_affine(key, (a + b) / 2, degrees=10.0)
+    ya = random_affine(key, a, degrees=10.0)
+    yb = random_affine(key, b, degrees=10.0)
+    np.testing.assert_allclose(
+        np.asarray(mixed), np.asarray((ya + yb) / 2), atol=1e-5)
 
 
 def test_repeat_dataset():

@@ -6,6 +6,7 @@ from .augment import (
     augment_multimodal,
     augment_photometry,
     augment_spectra,
+    random_affine,
     repeat_dataset,
 )
 from .goldstein import (
@@ -34,6 +35,7 @@ __all__ = [
     "augment_multimodal",
     "augment_photometry",
     "augment_spectra",
+    "random_affine",
     "repeat_dataset",
     "denormalize",
     "get_goldstein_params",

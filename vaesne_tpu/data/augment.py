@@ -71,20 +71,70 @@ def repeat_dataset(batch, factor: int):
     )
 
 
+AFFINE_DEGREES = 15.0       # data_util.py:60
+AFFINE_TRANSLATE = 0.05     # data_util.py:60
+AFFINE_SCALE = (0.75, 1.25)  # data_util.py:60
+
+
+def random_affine(
+    key: Array,
+    images: Array,
+    degrees: float = AFFINE_DEGREES,
+    translate: float = AFFINE_TRANSLATE,
+    scale: Tuple[float, float] = AFFINE_SCALE,
+    fill: float = -1.0,
+) -> Array:
+    """Per-image random rotation + translation + scale for NCHW batches —
+    the on-device equivalent of the reference's ``RandomAffine(degrees=15,
+    translate=(0.05, 0.05), scale=(0.75, 1.25))`` (data_util.py:60).
+
+    Shape-static fixed-grid bilinear resample: each output pixel inverse-maps
+    through the sampled affine (rotation/scale about the image center, then
+    translation) and gathers with ``jax.scipy.ndimage.map_coordinates`` —
+    one vmapped gather per batch, no data-dependent shapes, jit/TPU friendly.
+
+    ``fill`` handles out-of-bounds samples. The reference applies the affine
+    BEFORE ``Normalize(0.5, 0.5)`` with black (0) fill, which lands at −1.0
+    in the normalized [−1, 1] space these on-device batches live in — hence
+    the default."""
+    from jax.scipy.ndimage import map_coordinates
+
+    b, _, h, w = images.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    theta = jnp.deg2rad(
+        jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees))
+    s = jax.random.uniform(k2, (b,), minval=scale[0], maxval=scale[1])
+    t = jax.random.uniform(k3, (b, 2), minval=-translate, maxval=translate)
+    tx, ty = t[:, 0] * w, t[:, 1] * h
+
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+
+    def warp_one(img, th, sc, dx, dy):
+        # inverse map: out pixel ← center + R(−θ)/s · (out − center − t)
+        c, sn = jnp.cos(th), jnp.sin(th)
+        xo, yo = xx - cx - dx, yy - cy - dy
+        xi = cx + (c * xo + sn * yo) / sc
+        yi = cy + (-sn * xo + c * yo) / sc
+        coords = jnp.stack([yi, xi])  # [2, H, W]
+        return jax.vmap(
+            lambda ch: map_coordinates(ch, coords, order=1, mode="constant",
+                                       cval=fill)
+        )(img)
+
+    return jax.vmap(warp_one)(images, theta, s, tx, ty)
+
+
 def augment_images(key: Array, images: Array) -> Array:
-    """Random horizontal/vertical flips for NCHW image batches — the on-device
-    analog of the reference's torchvision flip transforms
-    (data_util.py:56-60). Affine jitter is approximated by flips + small
-    translations via roll (cheap, shape-static)."""
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    """Random horizontal/vertical flips + random affine for NCHW batches —
+    the on-device analog of the reference's torchvision pipeline
+    (data_util.py:56-62: RandomHorizontalFlip, RandomVerticalFlip,
+    RandomAffine(degrees=15, translate=(0.05,0.05), scale=(0.75,1.25)))."""
+    k1, k2, k3 = jax.random.split(key, 3)
     b = images.shape[0]
     do_h = jax.random.bernoulli(k1, 0.5, (b,))
     do_v = jax.random.bernoulli(k2, 0.5, (b,))
     flipped_h = jnp.where(do_h[:, None, None, None], images[..., ::-1], images)
     flipped = jnp.where(do_v[:, None, None, None], flipped_h[..., ::-1, :], flipped_h)
-    shifts = jax.random.randint(k3, (b, 2), -3, 4)
-
-    def roll_one(img, sh):
-        return jnp.roll(img, (sh[0], sh[1]), axis=(-2, -1))
-
-    return jax.vmap(roll_one)(flipped, shifts)
+    return random_affine(k3, flipped)
