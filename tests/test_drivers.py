@@ -114,6 +114,45 @@ def test_train_then_eval_restores_nondefault_config(tmp_path):
 
 
 @pytest.mark.slow
+def test_latent_swap_driver(tmp_path):
+    """`model=latent_swap` (try_photospectra_model.py:82-85): train tiny
+    unimodal VAEs with MATCHING latent shapes through the real drivers, then
+    the swap experiment must produce its figure; mismatched latent shapes
+    must error loudly."""
+    from vaesne_tpu.data import make_goldstein_like
+    from vaesne_tpu.experiments.train_photometry import main as train_photo
+    from vaesne_tpu.experiments.train_spectra import main as train_spec
+    from vaesne_tpu.experiments.try_models import main as try_main
+
+    data = make_goldstein_like(n=24, seed=0, spectrum_bins=48,
+                               photometry_length=16)
+    npz = os.path.join(tmp_path, "goldstein.npz")
+    np.savez(npz, **data)
+    small = ["model.num_layers=1", "model.model_dim=16", "model.num_heads=2",
+             "model.ff_dim=16", "train.epochs=1", "train.batch_size=8",
+             "train.K=1", "train.save_every=1",
+             f"train.ckpt_dir={tmp_path}", f"train.log_dir={tmp_path}"]
+    train_photo([f"data={npz}", "model.latent_dim=4"] + small)
+    train_spec([f"data={npz}"] + small)
+    photo_ckpt = os.path.join(tmp_path, "goldstein_photometry_4-4")
+    spec_ckpt = os.path.join(tmp_path, "goldstein_spectra_4-4")
+    assert os.path.isdir(photo_ckpt) and os.path.isdir(spec_ckpt)
+
+    try_main(["model=latent_swap", f"data={npz}",
+              f"photo_ckpt={photo_ckpt}", f"spec_ckpt={spec_ckpt}",
+              "K=4", "n=2", f"out={tmp_path}"])
+    assert os.path.exists(os.path.join(tmp_path, "latent_swap.png"))
+
+    # mismatched latent shapes: loud error, not silent garbage
+    train_photo([f"data={npz}", "model.latent_dim=2"] + small)
+    bad = os.path.join(tmp_path, "goldstein_photometry_4-2")
+    with pytest.raises(ValueError, match="matching latent shapes"):
+        try_main(["model=latent_swap", f"data={npz}",
+                  f"photo_ckpt={bad}", f"spec_ckpt={spec_ckpt}",
+                  "K=4", "n=2", f"out={tmp_path}"])
+
+
+@pytest.mark.slow
 def test_try_ztf_mmvae_against_shipped_checkpoint(tmp_path):
     """The ZTF qualitative-eval path (try_ZTF_photospect.py analog) runs
     against the shipped ZTF artifact: config comes from its config.json,

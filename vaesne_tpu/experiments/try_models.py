@@ -14,8 +14,14 @@ the ZTF data keys and the checkpoint's config.json.
 
 Usage:
   python -m vaesne_tpu.experiments.try_models \
-      [model=mmvae|photometry|spectra|image|ztf_spectra|ztf_mmvae]
-      [data=...] [mm_ckpt=...] [K=100] [n=4] [out=./figs]
+      [model=mmvae|photometry|spectra|image|ztf_spectra|ztf_mmvae|latent_swap]
+      [data=...] [mm_ckpt=...] [photo_ckpt=...] [spec_ckpt=...]
+      [K=100] [n=4] [out=./figs]
+
+``model=latent_swap`` reproduces the unimodal-VAE latent-swap cross-decode
+experiment (try_photospectra_model.py:82-85): pass ``photo_ckpt=`` and
+``spec_ckpt=`` pointing at unimodal checkpoints with matching latent shapes
+(e.g. the shipped ``artifacts/ckpt/goldstein_{photometry,spectra}_4-4``).
 """
 
 from __future__ import annotations
@@ -314,9 +320,84 @@ def try_ztf_mmvae(data_path, ckpt, K, n_show, out_dir):
     print(f"wrote {path}")
 
 
+def try_latent_swap(data_path, photo_ckpt, spec_ckpt, K, n_show, out_dir):
+    """Unimodal-VAE latent-swap cross-decode (try_photospectra_model.py:82-85):
+    encode each modality with its own UNIMODAL VAE (posterior mean), swap the
+    latents, and decode — LC latents through the spectra decoder and spectra
+    latents through the LC decoder. Unlike the MMVAE cross matrix, the two
+    VAEs here were never trained together; the figure shows how far the
+    independently-learned latent spaces happen to align."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..utils.config import PhotometryVAEConfig, SpectraVAEConfig
+    from .train_photometry import build_model as build_photo
+    from .train_spectra import build_model as build_spec
+
+    data = resolve_dataset(data_path, "goldstein")
+    te_idx = np.asarray(data["testing_idx"])[:n_show]
+    photo = photometry_tuple(data, idx=te_idx)
+    spec = spectra_tuple(data, idx=te_idx)
+    key = jax.random.PRNGKey(0)
+
+    pcfg = _config_for(photo_ckpt, PhotometryVAEConfig)
+    scfg = _config_for(spec_ckpt, SpectraVAEConfig)
+    if (pcfg.model.latent_len, pcfg.model.latent_dim) != (
+            scfg.model.latent_len, scfg.model.latent_dim):
+        raise ValueError(
+            "latent_swap needs matching latent shapes: photometry ckpt has "
+            f"{pcfg.model.latent_len}x{pcfg.model.latent_dim}, spectra ckpt "
+            f"{scfg.model.latent_len}x{scfg.model.latent_dim}")
+    photo_model = build_photo(pcfg)
+    spec_model = build_spec(scfg)
+    photo_vars = _restore(photo_ckpt, photo_model, photo, key, K=1,
+                          train_cfg=pcfg.train)
+    spec_vars = _restore(spec_ckpt, spec_model, spec, key, K=1,
+                         train_cfg=scfg.train)
+
+    # posterior means [B, latent_len, latent_dim] → add the K=1 axis the
+    # decoders expect (reference's `[None, ...]`, try_photospectra_model.py:83)
+    z_photo = photo_model.apply(photo_vars, photo, method="encode")[None]
+    z_spec = spec_model.apply(spec_vars, spec, method="encode")[None]
+    # the swap: each decoder driven by the OTHER modality's latents
+    lc2spec = np.asarray(
+        spec_model.apply(spec_vars, z_photo, spec, method="decode").mean[0])
+    spec2lc = np.asarray(
+        photo_model.apply(photo_vars, z_spec, photo, method="decode").mean[0])
+
+    os.makedirs(out_dir, exist_ok=True)
+    fig, axes = plt.subplots(n_show, 2, figsize=(10, 3.2 * n_show))
+    axes = np.atleast_2d(axes)
+    for i in range(n_show):
+        ax = axes[i, 0]
+        plot_lsst_lc(np.asarray(photo[2][i]), spec2lc[i],
+                     np.asarray(photo[1][i]), np.asarray(photo[3][i]), ax=ax)
+        plot_lsst_lc(np.asarray(photo[2][i]), np.asarray(photo[0][i]),
+                     np.asarray(photo[1][i]), np.asarray(photo[3][i]),
+                     ax=ax, alpha=0.3)
+        ax.set_title("spec latents → LC decoder")
+        ax = axes[i, 1]
+        obs = ~np.asarray(spec[3][i])
+        ax.plot(np.asarray(spec[1][i])[obs], np.asarray(spec[0][i])[obs],
+                color="k", lw=0.5, alpha=0.5, label="ground truth")
+        ax.plot(np.asarray(spec[1][i])[obs], lc2spec[i][obs],
+                color="tab:blue", label="LC latents → spec decoder")
+        ax.set_title("LC latents → spectra decoder")
+        if i == 0:
+            ax.legend()
+    fig.tight_layout()
+    path = os.path.join(out_dir, "latent_swap.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    print(f"wrote {path}")
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     mm_ckpt, K, n_show, out_dir = None, 100, 4, "./figs"
+    photo_ckpt = spec_ckpt = None
     which = "mmvae"
     rest = []
     for a in argv:
@@ -324,6 +405,10 @@ def main(argv=None):
             which = a.split("=", 1)[1]
         elif a.startswith("mm_ckpt="):
             mm_ckpt = a.split("=", 1)[1]
+        elif a.startswith("photo_ckpt="):
+            photo_ckpt = a.split("=", 1)[1]
+        elif a.startswith("spec_ckpt="):
+            spec_ckpt = a.split("=", 1)[1]
         elif a.startswith("K="):
             K = int(a.split("=", 1)[1])
         elif a.startswith("n="):
@@ -342,6 +427,9 @@ def main(argv=None):
         return try_ztf_spectra(data_path, mm_ckpt, K, n_show, out_dir)
     if which == "ztf_mmvae":
         return try_ztf_mmvae(data_path, mm_ckpt, K, n_show, out_dir)
+    if which == "latent_swap":
+        return try_latent_swap(data_path, photo_ckpt, spec_ckpt, K, n_show,
+                               out_dir)
 
     data = resolve_dataset(data_path, "goldstein")
     te_idx = np.asarray(data["testing_idx"])[:n_show]
