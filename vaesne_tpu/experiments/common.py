@@ -182,10 +182,42 @@ def train_loop(
         from ..utils.checkpoint import restore_checkpoint
 
         if os.path.isdir(os.path.join(ckpt_path, "state")):
+            from ..utils.checkpoint import load_config
+
+            saved_cfg = load_config(ckpt_path)
+            saved_bs = (saved_cfg or {}).get("train", {}).get("batch_size")
+            if saved_bs is not None and saved_bs != train_cfg.batch_size:
+                raise ValueError(
+                    f"resume geometry mismatch at {ckpt_path}: checkpoint "
+                    f"was trained with batch_size={saved_bs}, current run "
+                    f"uses {train_cfg.batch_size}. Resuming with a different "
+                    "batch size would mis-derive the resume epoch and the "
+                    "epoch-key fast-forward; restart with the original "
+                    "batch_size or train fresh under a new ckpt name."
+                )
             state = restore_checkpoint(ckpt_path, state)
             n = jax.tree_util.tree_leaves(train_data)[0].shape[0]
             steps_per_epoch = n // train_cfg.batch_size
-            start_epoch = int(state.step) // max(1, steps_per_epoch)
+            progress_file = os.path.join(ckpt_path, "progress.json")
+            if os.path.exists(progress_file):
+                # explicit epoch record written at save time — immune to
+                # dataset-size/repeat-factor drift between runs
+                import json as _json
+
+                with open(progress_file) as f:
+                    start_epoch = int(_json.load(f)["epochs_done"])
+                if int(state.step) != start_epoch * steps_per_epoch:
+                    raise ValueError(
+                        f"resume geometry mismatch at {ckpt_path}: the "
+                        f"checkpoint records {start_epoch} completed epochs "
+                        f"at step {int(state.step)}, but the current data/"
+                        f"batch settings give {steps_per_epoch} steps/epoch "
+                        f"(expected step {start_epoch * steps_per_epoch}). "
+                        "The dataset size, repeat factor, or batch size "
+                        "changed since the original run."
+                    )
+            else:  # pre-progress.json checkpoint: infer from the step count
+                start_epoch = int(state.step) // max(1, steps_per_epoch)
             losses_file = os.path.join(ckpt_path, "losses.npy")
             if os.path.exists(losses_file):
                 losses = [float(v) for v in np.load(losses_file)][:start_epoch]
@@ -232,6 +264,10 @@ def train_loop(
             save_checkpoint(ckpt_path, state, cfg_dict)
             np.save(os.path.join(ckpt_path, "losses.npy"),
                     np.asarray(losses, np.float64))
+            import json as _json
+
+            with open(os.path.join(ckpt_path, "progress.json"), "w") as f:
+                _json.dump({"epochs_done": epoch + 1}, f)
             os.makedirs(train_cfg.log_dir, exist_ok=True)
             plot_loss_curve(
                 losses, path=os.path.join(train_cfg.log_dir, f"{ckpt_name}_loss.png")

@@ -43,6 +43,18 @@ def main(argv=None):
     data_path, rest = parse_cli(list(sys.argv[1:] if argv is None else argv))
     cfg = parse_overrides(ContrastiveConfig(), rest)
 
+    if cfg.train.accum_steps > 1:
+        import warnings
+
+        warnings.warn(
+            "accum_steps > 1 with InfoNCE shrinks each anchor's negative "
+            "pool to the microbatch: this optimizes a weaker contrastive "
+            "objective than the whole-batch loss (InfoNCE is not "
+            "microbatch-decomposable). Proceeding, but the result is NOT "
+            "equivalent to accum_steps=1 at the same global batch.",
+            stacklevel=1,
+        )
+
     data = resolve_dataset(data_path, "goldstein", seed=cfg.train.seed)
     train_data, _ = split_tuples(data, multimodal_tuple)
     model = build_model(cfg)

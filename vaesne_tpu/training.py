@@ -122,10 +122,15 @@ def accumulate_gradients(
     ``reduction`` must match the objective's batch reduction for exact
     whole-batch equivalence:
       * ``"mean"`` — averages microbatch losses/grads (objectives that mean
-        over the batch, e.g. ``elbo``, ``neg_info_nce``, ``mse``);
+        over the batch AND decompose per-sample, e.g. ``elbo``, ``mse``);
       * ``"sum"`` — sums them (objectives that sum over the batch, e.g.
         ``m_iwae`` — exactly the chunk-concat-then-sum structure of reference
         losses.py:81-93).
+
+    ``neg_info_nce`` is NOT decomposable across microbatches: each anchor's
+    negative pool is the rest of its (micro)batch, so accumulation shrinks
+    the pool to the microbatch and optimizes a strictly weaker contrastive
+    objective. The contrastive driver warns when ``accum_steps > 1``.
 
     Each microbatch gets ``fold_in(key, i)`` so RNG streams stay independent.
     """

@@ -80,13 +80,59 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     except (ValueError, KeyError) as e:
         raise ValueError(
             f"restore_checkpoint: saved state at {path!r} does not match the "
-            "template's pytree structure. If params shapes are right, the "
-            "likely cause is an optimizer-format mismatch: training.adamw("
-            "..., flatten=True) (the default) and flatten=False produce "
-            "different opt_state structures — rebuild the template with the "
-            "same flatten setting the checkpoint was saved with. "
+            f"template. {_diagnose_mismatch(ckptr, path, template)} "
             f"Original error: {e}"
         ) from e
+
+
+def _diagnose_mismatch(ckptr, path: str, template: TrainState) -> str:
+    """Distinguish a params (architecture/config) mismatch from an
+    opt_state-only (optimizer flatten-format) mismatch, so the restore error
+    suggests the right fix instead of always blaming the optimizer format."""
+    try:
+        meta = ckptr.metadata(os.path.join(path, "state"))
+        saved_params = meta["params"] if isinstance(meta, dict) else meta.params
+        same_structure = jax.tree_util.tree_structure(
+            saved_params
+        ) == jax.tree_util.tree_structure(template.params)
+        if same_structure:
+            shape_diffs = [
+                f"{jax.tree_util.keystr(p)}: saved {tuple(a.shape)} vs "
+                f"template {tuple(b.shape)}"
+                for (p, a), (_, b) in zip(
+                    jax.tree_util.tree_leaves_with_path(saved_params),
+                    jax.tree_util.tree_leaves_with_path(template.params),
+                )
+                if tuple(a.shape) != tuple(b.shape)
+            ]
+            if shape_diffs:
+                return (
+                    "The params TREE matches but leaf shapes differ — the "
+                    "checkpoint was trained with a different architecture "
+                    "config than the template (use restore_config to rebuild "
+                    "the exact config). First diffs: "
+                    + "; ".join(shape_diffs[:3]) + "."
+                )
+            return (
+                "The params subtree matches the template, so the mismatch is "
+                "in opt_state: training.adamw(..., flatten=True) (the "
+                "default) and flatten=False produce different opt_state "
+                "structures — rebuild the template with the same flatten "
+                "setting the checkpoint was saved with."
+            )
+        return (
+            "The params subtree ITSELF differs from the template — the "
+            "checkpoint holds a different model architecture or config "
+            "(restore it through restore_config / the matching driver, "
+            "not a default-config template)."
+        )
+    except Exception:  # metadata unavailable: give both possibilities
+        return (
+            "Could not read checkpoint metadata to localize the mismatch; "
+            "either the architecture config differs from the template, or "
+            "the optimizer flatten format does (training.adamw flatten=True "
+            "vs False)."
+        )
 
 
 def load_config(path: str) -> Optional[Dict[str, Any]]:
