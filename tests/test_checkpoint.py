@@ -9,6 +9,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vaesne_tpu import objectives
 from vaesne_tpu.models import PhotometricVAE
@@ -32,6 +33,7 @@ def test_checkpoint_name_format():
     assert name == "goldstein_photospec_4-4_0.0001_200_K2_beta1.0_modeldim32"
 
 
+@pytest.mark.slow
 def test_state_roundtrip(tmp_path, rng, key):
     batch = make_photometry_batch(rng, B=8)
     model = PhotometricVAE(num_bands=6, **SMALL)
@@ -61,6 +63,7 @@ def test_state_roundtrip(tmp_path, rng, key):
     assert load_config(path) == {"lr": 1e-3, "note": "two steps"}
 
 
+@pytest.mark.slow
 def test_resume_training_continues(tmp_path, rng, key):
     """Training resumed from a checkpoint is bit-identical to uninterrupted
     training (params, opt state, and RNG all round-trip)."""

@@ -199,6 +199,7 @@ def tiny_mmvae():
     return model, variables, (photo, spec)
 
 
+@pytest.mark.slow
 class TestHarnessEndToEnd:
     def test_reconstruction_suite_shapes_and_chunking(self, tiny_mmvae):
         model, variables, batch = tiny_mmvae

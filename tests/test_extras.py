@@ -103,6 +103,7 @@ class TestGumbelSoftmax:
         assert y_hot.max(-1).mean() > y_warm.max(-1).mean()
 
 
+@pytest.mark.slow
 def test_transformer_model_shapes():
     m = TransformerModel(embed_dim=8, num_heads=2, ff_dim=16, num_layers=2,
                          dropout=0.0, selfattn=True)

@@ -87,6 +87,7 @@ def test_encode_decode_roundtrip_api(key, photometry_batch):
     assert px.loc.shape == (5,) + photometry_batch[0].shape
 
 
+@pytest.mark.slow
 def test_reconstruct_and_generate(key, spectra_batch):
     m = SpectraVAE(**SMALL)
     v = _init(m, key, spectra_batch)
@@ -96,6 +97,7 @@ def test_reconstruct_and_generate(key, spectra_batch):
     assert gen.shape == (5,) + spectra_batch[0].shape
 
 
+@pytest.mark.slow
 def test_image_vae_pixel_and_hybrid(key):
     img = jnp.ones((2, 3, 16, 16))
     x = (img, jnp.zeros((2, 0)))
@@ -148,6 +150,7 @@ def test_mmvae_llik_scaling_balance():
     np.testing.assert_allclose(mm.llik_scalings[1], 1 / 0.5)
 
 
+@pytest.mark.slow
 def test_mmvae_generate_and_crossmodgen(key, multimodal_batch):
     photo = PhotometricVAE(num_bands=6, **SMALL)
     spec = SpectraVAE(**SMALL)

@@ -80,6 +80,7 @@ def test_m_iwae_matches_manual_single_modality(key, photometry_batch):
     np.testing.assert_allclose(float(val), float(expected), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_m_iwae_multimodal_runs_and_grads(key, multimodal_batch):
     mm, v = _mm(key, multimodal_batch)
     val = m_iwae(mm, v, multimodal_batch, K=2, key=key, deterministic=True)

@@ -48,6 +48,7 @@ def test_epoch_batches_too_large_batch(key):
         list(epoch_batches(key, (jnp.arange(4.0),), 8))
 
 
+@pytest.mark.slow
 def test_train_step_decreases_elbo_loss(key):
     data = _tiny_photo_data()
     model = PhotometricVAE(num_bands=2, **SMALL)
@@ -67,6 +68,7 @@ def test_train_step_decreases_elbo_loss(key):
     assert all(np.isfinite(losses))
 
 
+@pytest.mark.slow
 def test_train_step_mmvae_m_iwae(key, multimodal_batch):
     model = PhotoSpecMMVAE(
         vaes=[PhotometricVAE(num_bands=6, **SMALL), SpectraVAE(**SMALL)],
@@ -94,9 +96,8 @@ def test_train_step_mmvae_m_iwae(key, multimodal_batch):
 
 
 def test_train_state_is_pytree(key):
-    data = _tiny_photo_data(n=8)
-    model = PhotometricVAE(num_bands=2, **SMALL)
-    params = init_model(model, data, key)
+    # dummy params: pytree-ness doesn't need a real model init (14 s of jit)
+    params = {"dense": {"kernel": jnp.ones((3, 2)), "bias": jnp.zeros(2)}}
     state = TrainState.create(params, adamw(1e-3), key)
     leaves = jax.tree_util.tree_leaves(state)
     assert len(leaves) > 0
@@ -185,6 +186,7 @@ def _encode_loss(reduction):
     return loss_fn
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("reduction", ["mean", "sum"])
 def test_accum_matches_whole_batch(key, reduction):
     """accum_steps=4 must reproduce the whole-batch loss and grads (to fp32
@@ -263,11 +265,12 @@ def test_accumulate_gradients_key_schedule(key, multimodal_batch):
 
 
 def test_accumulate_gradients_errors(key):
+    """Validation fires before any tracing — dummy params keep this free of
+    a model compile (it cost 32 s of pure jit on a 1-core host)."""
     from vaesne_tpu.training import accumulate_gradients
 
     data = _tiny_photo_data(n=10)
-    model = PhotometricVAE(num_bands=2, **SMALL)
-    params = init_model(model, data, key, K=1)
+    params = {"w": jnp.zeros(3)}
 
     def neg_loss(p, b, k):
         return jnp.zeros(())
@@ -327,6 +330,7 @@ def test_train_loop_resume_bit_exact(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_train_loop_parity_preset(tmp_path):
     """parity=True: no grad clipping + one-shot augmentation; the run must
     still train and checkpoint (reference-dynamics mode, VERDICT item 6)."""
