@@ -24,13 +24,18 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 CASES = [
-    ("qt512/512 dropout", {}),
-    ("qt1024/512 dropout", {"VAESNE_ATTN_QT_FWD": "1024"}),
-    ("qt1024/1024 dropout", {"VAESNE_ATTN_QT_FWD": "1024",
-                             "VAESNE_ATTN_QT_BWD": "1024"}),
-    ("qt256/256 dropout", {"VAESNE_ATTN_QT_FWD": "256",
-                           "VAESNE_ATTN_QT_BWD": "256"}),
-    ("qt512/512 no-dropout", {"VAESNE_AB_DETERMINISTIC": "1"}),
+    # bf16 default tiles are 1024/1024 (ops/attention.py::_q_tile)
+    ("default dropout (qt1024/1024, bits32)", {}),
+    ("qt512/512 dropout", {"VAESNE_ATTN_QT_FWD": "512",
+                           "VAESNE_ATTN_QT_BWD": "512"}),
+    # round-2 queued: narrow dropout PRNG widths (correctness validated on
+    # hardware in round 2, speed never recorded — PERFORMANCE.md "Queued")
+    ("bits16 dropout", {"VAESNE_DROPOUT_BITS": "16"}),
+    ("bits8 dropout", {"VAESNE_DROPOUT_BITS": "8"}),
+    # round-2 queued: no-dropout ablation at the CURRENT default tiles
+    ("default no-dropout", {"VAESNE_AB_DETERMINISTIC": "1"}),
+    # round-2 queued: folded-rescale delta (unfolded = the replaced variant)
+    ("unfolded rescale dropout", {"VAESNE_AB_UNFOLD": "1"}),
 ]
 
 B = 512
