@@ -88,12 +88,15 @@ def _dropout_bits() -> int:
     (w=16: |err| <= 7.6e-6, far below run-to-run sampling noise; w=8:
     <= 2e-3, e.g. rate 0.1 -> 26/256 = 0.1016).
 
-    Default 32: the configuration whose end-to-end throughput is measured
-    (bench 2026-08-17). 16 and 8 pass the full on-hardware property suite
-    (scripts/check_kernel_tpu.py: keep-rate statistics, fwd+bwd q-tile
-    invariance, fwd/bwd mask agreement) but their throughput delta is not
-    yet measured — flip the default only with an A/B number."""
-    w = int(os.environ.get("VAESNE_DROPOUT_BITS", "32"))
+    Default 8: measured end-to-end at the bench point (flagship MMVAE,
+    B=512, bf16, 2026-08-19, scripts/ab_attention.py): 585.4 ms/step vs
+    601.5 (w=16) vs 628.7 (w=32) — +7.4% throughput over 32. All widths
+    pass the on-hardware property suite (scripts/check_kernel_tpu.py:
+    keep-rate statistics, fwd+bwd q-tile invariance, fwd/bwd mask
+    agreement); the w=8 rate quantization (<= 2e-3) is far below any
+    effect observable in training dynamics. Set 32 to reproduce pre-flip
+    runs exactly."""
+    w = int(os.environ.get("VAESNE_DROPOUT_BITS", "8"))
     if w not in (8, 16, 32):
         raise ValueError(f"VAESNE_DROPOUT_BITS={w} must be 8, 16 or 32")
     return w
@@ -130,7 +133,7 @@ def _dropout_mask(seed_ref, shape, rate, qt, interpret):
     different q-tile sizes (VAESNE_ATTN_QT_FWD/_BWD) and still regenerate
     bit-identical masks without storing them.
 
-    ``VAESNE_DROPOUT_BITS`` (default 32) sets the random-value width: one
+    ``VAESNE_DROPOUT_BITS`` (default 8) sets the random-value width: one
     hardware draw is 32 bits, so width w generates 128*w/32 uint32 sublanes
     per 128-row block and bitcasts to 128 sublanes of uint{w} — 16/8 cut
     the PRNG work 2x/4x vs 32 at a drop-rate quantization of 1/2^w
