@@ -369,65 +369,98 @@ def _bwd_pallas(seed, q, k, v, bias3, do, num_heads, rate, interpret):
     )(seed, q, k, v, bias3, do)
 
 
-def _seed_lower_fn(inner, mesh, axes, local_b, num_heads, rate):
+def _seed_lower_fn(inner, mesh, axes, local_b, local_heads, rate):
     """Wrap a per-shard lowering so each shard's dropout bit-stream is
-    disjoint: the kernel seeds per (LOCAL batch, head, row-block) with
-    namespace width local_b*num_heads*1024 (see _dropout_mask), so offset
-    the seed by the shard's linearized mesh index times that width."""
+    disjoint: the kernel seeds per (LOCAL batch, local head, row-block) with
+    namespace width local_b*local_heads*1024 (see _dropout_mask), so offset
+    the seed by the shard's linearized mesh index — over the batch AND
+    head-shard axes — times that width."""
     from .partition import shard_index
 
     def lower(seed, *args):
         if rate > 0.0 and axes:
-            stride = jnp.int32(local_b * num_heads * 1024)
+            stride = jnp.int32(local_b * local_heads * 1024)
             seed = seed + shard_index(mesh, axes) * stride
         return inner(seed, *args)
 
     return lower
 
 
+def _shard_axes(mesh, arg_shapes, num_heads):
+    """(axes_b, axes_e, local_b, heads_local) from the q operand's sharding.
+
+    Dim 0 (batch) sharding is always kept. Dim 1 (packed E = heads*Dh)
+    sharding is kept only when the shard count divides ``num_heads`` — a
+    whole-head split, each shard running its own heads with a local per-head
+    softmax (the Megatron q/k/v layout from parallel/tp.py). A mid-head
+    split cannot run locally (softmax normalizes over a head's full Lk row
+    with all of its Dh channels present), so E falls back to replicated."""
+    from .partition import axes_on_dim, n_shards
+
+    qsh = arg_shapes[1].sharding
+    axes_b = axes_on_dim(qsh, 0)
+    axes_e = axes_on_dim(qsh, 1)
+    if axes_e and num_heads % n_shards(mesh, axes_e):
+        axes_e = ()
+    heads_local = num_heads // n_shards(mesh, axes_e)
+    local_b = arg_shapes[1].shape[0] // n_shards(mesh, axes_b)
+    return axes_b, axes_e, local_b, heads_local
+
+
+def _qkv_sharding(mesh, axes_b, axes_e):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .partition import spec_entry
+
+    return NamedSharding(
+        mesh, P(spec_entry(axes_b), spec_entry(axes_e), None))
+
+
+def _bias_sharding(mesh, axes_b):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .partition import spec_entry
+
+    return NamedSharding(mesh, P(spec_entry(axes_b), None, None))
+
+
 @functools.lru_cache(maxsize=None)
 def _fwd_partitioned(num_heads, rate, interpret):
-    """custom_partitioning-wrapped forward: a dp mesh runs each batch shard's
-    pallas_call locally instead of all-gathering the global batch (see
-    ops/partition.py). Cached per static config so the registration happens
-    once per (num_heads, rate, interpret)."""
+    """custom_partitioning-wrapped forward: a dp mesh runs each batch
+    shard's pallas_call locally instead of all-gathering the global batch,
+    and a tp mesh (packed E axis sharded in whole-head slices) runs each
+    head shard locally (see ops/partition.py and _shard_axes). Cached per
+    static config so the registration happens once per
+    (num_heads, rate, interpret)."""
     from jax.experimental.custom_partitioning import custom_partitioning
 
-    from .partition import batch_axes, batch_only, replicated
+    from .partition import replicated
 
     @custom_partitioning
     def fwd(seed, q, k, v, bias3):
         return _fwd_pallas(seed, q, k, v, bias3, num_heads, rate, interpret)
 
     def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
-        return batch_only(mesh, arg_shapes[1].sharding, 3)
+        axes_b, axes_e, _, _ = _shard_axes(mesh, arg_shapes, num_heads)
+        return _qkv_sharding(mesh, axes_b, axes_e)
 
     def partition(mesh, arg_shapes, result_shape):
-        qsh = arg_shapes[1].sharding
-        axes = batch_axes(qsh)
-        n_shards = 1
-        for a in axes:
-            n_shards *= mesh.shape[a]
-        local_b = arg_shapes[1].shape[0] // n_shards
-        arg_shardings = (
-            replicated(mesh),
-            batch_only(mesh, qsh, 3),
-            batch_only(mesh, qsh, 3),
-            batch_only(mesh, qsh, 3),
-            batch_only(mesh, qsh, 3),
-        )
-        out_sharding = batch_only(mesh, qsh, 3)
+        axes_b, axes_e, local_b, heads_local = _shard_axes(
+            mesh, arg_shapes, num_heads)
+        qkv = _qkv_sharding(mesh, axes_b, axes_e)
+        arg_shardings = (replicated(mesh), qkv, qkv, qkv,
+                         _bias_sharding(mesh, axes_b))
         lower = _seed_lower_fn(
             lambda seed, q, k, v, bias3: _fwd_pallas(
-                seed, q, k, v, bias3, num_heads, rate, interpret),
-            mesh, axes, local_b, num_heads, rate)
-        return mesh, lower, out_sharding, arg_shardings
+                seed, q, k, v, bias3, heads_local, rate, interpret),
+            mesh, axes_b + axes_e, local_b, heads_local, rate)
+        return mesh, lower, qkv, arg_shardings
 
     fwd.def_partition(
         partition=partition,
         infer_sharding_from_operands=infer_sharding_from_operands,
         sharding_rule="s, b e q, b e m, b e m, b o m -> b e q",
-        need_replication_factors=("s", "e", "q", "m", "o"),
+        need_replication_factors=("s", "q", "m", "o"),
     )
     return fwd
 
@@ -435,10 +468,10 @@ def _fwd_partitioned(num_heads, rate, interpret):
 @functools.lru_cache(maxsize=None)
 def _bwd_partitioned(num_heads, rate, interpret):
     """custom_partitioning-wrapped backward (its own custom call under the
-    custom_vjp): same batch-only partitioning as the forward."""
+    custom_vjp): same batch + whole-head partitioning as the forward."""
     from jax.experimental.custom_partitioning import custom_partitioning
 
-    from .partition import batch_axes, batch_only, replicated
+    from .partition import replicated
 
     @custom_partitioning
     def bwd(seed, q, k, v, bias3, do):
@@ -446,23 +479,21 @@ def _bwd_partitioned(num_heads, rate, interpret):
                            interpret)
 
     def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
-        b = batch_only(mesh, arg_shapes[1].sharding, 3)
-        return (b, b, b)
+        axes_b, axes_e, _, _ = _shard_axes(mesh, arg_shapes, num_heads)
+        s = _qkv_sharding(mesh, axes_b, axes_e)
+        return (s, s, s)
 
     def partition(mesh, arg_shapes, result_shape):
-        qsh = arg_shapes[1].sharding
-        axes = batch_axes(qsh)
-        n_shards = 1
-        for a in axes:
-            n_shards *= mesh.shape[a]
-        local_b = arg_shapes[1].shape[0] // n_shards
-        b = batch_only(mesh, qsh, 3)
-        arg_shardings = (replicated(mesh), b, b, b, b, b)
-        out_shardings = (b, b, b)
+        axes_b, axes_e, local_b, heads_local = _shard_axes(
+            mesh, arg_shapes, num_heads)
+        s = _qkv_sharding(mesh, axes_b, axes_e)
+        arg_shardings = (replicated(mesh), s, s, s,
+                         _bias_sharding(mesh, axes_b), s)
+        out_shardings = (s, s, s)
         lower = _seed_lower_fn(
             lambda seed, q, k, v, bias3, do: _bwd_pallas(
-                seed, q, k, v, bias3, do, num_heads, rate, interpret),
-            mesh, axes, local_b, num_heads, rate)
+                seed, q, k, v, bias3, do, heads_local, rate, interpret),
+            mesh, axes_b + axes_e, local_b, heads_local, rate)
         return mesh, lower, out_shardings, arg_shardings
 
     bwd.def_partition(
@@ -470,7 +501,7 @@ def _bwd_partitioned(num_heads, rate, interpret):
         infer_sharding_from_operands=infer_sharding_from_operands,
         sharding_rule=("s, b e q, b e m, b e m, b o m, b e q "
                        "-> b e q, b e m, b e m"),
-        need_replication_factors=("s", "e", "q", "m", "o"),
+        need_replication_factors=("s", "q", "m", "o"),
     )
     return bwd
 

@@ -1,14 +1,18 @@
-"""Multi-chip partitioning for the Pallas kernels (batch/row axis).
+"""Multi-chip partitioning for the Pallas kernels.
 
 Both production kernels are embarrassingly parallel over their leading
 axis — ``fused_attention`` computes per-(batch, head) attention with no
 cross-batch coupling, and ``masked_laplace_loglik`` reduces each row
 independently — so a data-parallel mesh can run each shard's rows locally
-with ZERO collectives inside the op. GSPMD/Shardy cannot see through a
-Pallas custom call, though: unregistered, a dp mesh all-gathers the full
-global batch onto every chip before the kernel (the round-2 gap:
-SURVEY.md §2.4 names batch-sharded DP the one mandated parallelism, and
-``parallel/tp.py`` documented the kernel as unpartitionable).
+with ZERO collectives inside the op. ``fused_attention`` is additionally
+parallel over HEADS (its packed E axis, in whole-head slices), so a
+Megatron-style tensor-parallel mesh (``parallel/tp.py``: q/k/v outputs
+head-sharded) also runs the kernel locally per head shard. GSPMD/Shardy
+cannot see through a Pallas custom call, though: unregistered, a dp mesh
+all-gathers the full global batch onto every chip before the kernel (the
+round-2 gap: SURVEY.md §2.4 names batch-sharded DP the one mandated
+parallelism, and ``parallel/tp.py`` documented the kernel as
+unpartitionable).
 
 The fix is ``jax.experimental.custom_partitioning`` wrapped around each
 raw ``pallas_call`` (forward and backward separately — they sit inside a
@@ -48,13 +52,33 @@ def shard_kernels() -> bool:
         "0", "false", "False")
 
 
+def axes_on_dim(sharding, dim: int) -> tuple:
+    """Mesh axis names on ``dim`` of ``sharding`` as a flat tuple."""
+    spec = getattr(sharding, "spec", None)
+    if spec is None or len(spec) <= dim or spec[dim] is None:
+        return ()
+    a = spec[dim]
+    return tuple(a) if isinstance(a, tuple) else (a,)
+
+
 def batch_axes(sharding) -> tuple:
     """Mesh axis names on dim 0 of ``sharding`` as a flat tuple."""
-    spec = getattr(sharding, "spec", None)
-    if spec is None or len(spec) == 0 or spec[0] is None:
-        return ()
-    b = spec[0]
-    return tuple(b) if isinstance(b, tuple) else (b,)
+    return axes_on_dim(sharding, 0)
+
+
+def n_shards(mesh, axes: tuple) -> int:
+    """Product of the mesh sizes of ``axes``."""
+    out = 1
+    for a in axes:
+        out *= mesh.shape[a]
+    return out
+
+
+def spec_entry(axes: tuple):
+    """A flat axes tuple as a PartitionSpec entry (None when unsharded)."""
+    if not axes:
+        return None
+    return axes if len(axes) > 1 else axes[0]
 
 
 def batch_only(mesh, sharding, ndim: int) -> NamedSharding:

@@ -25,10 +25,15 @@ still numerically correct under GSPMD but costs extra collectives.
 Optimizer state is sharded congruently with its parameters
 (``optax.tree_map_params``), so per-shard AdamW touches only local moments.
 
-NB the fused Pallas attention kernel (ops/attention.py) is a custom call
-GSPMD cannot partition across the model axis; model-parallel runs use the
-pure-XLA attention path (``VAESNE_PALLAS=0``, or the small-grid default).
-The framework-default mesh (model=1, SURVEY §2.4) keeps the kernel.
+NB the fused Pallas attention kernel (ops/attention.py) partitions over
+the model axis too: its ``custom_partitioning`` registration keeps
+whole-head (packed-E-axis) sharding, so each model shard runs its own
+heads through the kernel locally — matching the q/k/v column sharding
+above with no gather (``ops/partition.py``; whole-head splits only —
+``num_heads % model_axis == 0``, the same contract ``shard_params_tp``
+enforces). The in-kernel dropout bit-stream is seeded per head SHARD, so
+a tp>1 run draws different (equally valid) attention-dropout masks than
+the identical single-chip run; eval/deterministic results are exact.
 """
 
 from __future__ import annotations
