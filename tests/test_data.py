@@ -157,6 +157,49 @@ def test_random_affine_is_linear_in_pixels(key):
         np.asarray(mixed), np.asarray((ya + yb) / 2), atol=1e-5)
 
 
+def test_affine_warp_exact_translation():
+    """Pure integer translation is an exact pixel shift with fill at the
+    vacated border — pins the warp's translation convention (t is applied in
+    OUTPUT pixels: out(p) = in(p - t), torchvision's convention)."""
+    from vaesne_tpu.data import affine_warp
+
+    imgs = make_images(n=2, img_size=9)
+    z = jnp.zeros((2,))
+    out = np.asarray(affine_warp(imgs, theta=z, scale=jnp.ones((2,)),
+                                 tx=jnp.full((2,), 2.0),
+                                 ty=jnp.full((2,), 1.0), fill=-1.0))
+    expect = np.full_like(np.asarray(imgs), -1.0)
+    expect[:, :, 1:, 2:] = np.asarray(imgs)[:, :, :-1, :-2]
+    np.testing.assert_allclose(out, expect, atol=1e-5)
+
+
+def test_affine_warp_exact_rot90():
+    """θ=90° on an odd-sized square maps the integer grid onto itself, so
+    bilinear sampling is exact: out[r, c] = in[N−1−c, r] = rot90(in, k=−1).
+    Pins the rotation direction/center conventions."""
+    from vaesne_tpu.data import affine_warp
+
+    imgs = make_images(n=2, img_size=7)
+    z = jnp.zeros((2,))
+    out = np.asarray(affine_warp(imgs, theta=jnp.full((2,), np.pi / 2),
+                                 scale=jnp.ones((2,)), tx=z, ty=z))
+    np.testing.assert_allclose(
+        out, np.rot90(np.asarray(imgs), k=-1, axes=(-2, -1)), atol=1e-5)
+
+
+def test_affine_warp_scale_center_invariant():
+    """Scaling about the center leaves the exact center pixel of an
+    odd-sized image unchanged (zoom-in s=2 keeps everything in-bounds)."""
+    from vaesne_tpu.data import affine_warp
+
+    imgs = make_images(n=2, img_size=9)
+    z = jnp.zeros((2,))
+    out = np.asarray(affine_warp(imgs, theta=z, scale=jnp.full((2,), 2.0),
+                                 tx=z, ty=z))
+    np.testing.assert_allclose(out[:, :, 4, 4], np.asarray(imgs)[:, :, 4, 4],
+                               atol=1e-5)
+
+
 def test_repeat_dataset():
     d = make_goldstein_like(n=8, spectrum_bins=16, photometry_length=4)
     spec = spectra_tuple(d)

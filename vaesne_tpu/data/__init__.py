@@ -2,6 +2,7 @@
 Goldstein/ZTF-shaped generators, and image utilities."""
 
 from .augment import (
+    affine_warp,
     augment_images,
     augment_multimodal,
     augment_photometry,
@@ -31,6 +32,7 @@ from .synthetic import (
 )
 
 __all__ = [
+    "affine_warp",
     "augment_images",
     "augment_multimodal",
     "augment_photometry",

@@ -76,37 +76,21 @@ AFFINE_TRANSLATE = 0.05     # data_util.py:60
 AFFINE_SCALE = (0.75, 1.25)  # data_util.py:60
 
 
-def random_affine(
-    key: Array,
-    images: Array,
-    degrees: float = AFFINE_DEGREES,
-    translate: float = AFFINE_TRANSLATE,
-    scale: Tuple[float, float] = AFFINE_SCALE,
-    fill: float = -1.0,
-) -> Array:
-    """Per-image random rotation + translation + scale for NCHW batches —
-    the on-device equivalent of the reference's ``RandomAffine(degrees=15,
-    translate=(0.05, 0.05), scale=(0.75, 1.25))`` (data_util.py:60).
+def affine_warp(images: Array, theta: Array, scale: Array, tx: Array,
+                ty: Array, fill: float = -1.0) -> Array:
+    """Deterministic batched inverse-affine bilinear warp for NCHW batches:
+    rotation ``theta`` (radians) and ``scale`` about the image center, then
+    translation ``(tx, ty)`` in pixels — all per-image ``[B]`` arrays.
 
-    Shape-static fixed-grid bilinear resample: each output pixel inverse-maps
-    through the sampled affine (rotation/scale about the image center, then
-    translation) and gathers with ``jax.scipy.ndimage.map_coordinates`` —
-    one vmapped gather per batch, no data-dependent shapes, jit/TPU friendly.
-
-    ``fill`` handles out-of-bounds samples. The reference applies the affine
-    BEFORE ``Normalize(0.5, 0.5)`` with black (0) fill, which lands at −1.0
-    in the normalized [−1, 1] space these on-device batches live in — hence
-    the default."""
+    Shape-static fixed-grid resample: each output pixel inverse-maps through
+    the affine and gathers with ``jax.scipy.ndimage.map_coordinates``
+    (order=1, constant ``fill`` out of bounds) — one vmapped gather per
+    batch, no data-dependent shapes, jit/TPU friendly. Exposed separately
+    from ``random_affine`` so exact-geometry tests (pure translation vs roll,
+    90° rotation vs rot90) can drive it with fixed parameters."""
     from jax.scipy.ndimage import map_coordinates
 
-    b, _, h, w = images.shape
-    k1, k2, k3 = jax.random.split(key, 3)
-    theta = jnp.deg2rad(
-        jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees))
-    s = jax.random.uniform(k2, (b,), minval=scale[0], maxval=scale[1])
-    t = jax.random.uniform(k3, (b, 2), minval=-translate, maxval=translate)
-    tx, ty = t[:, 0] * w, t[:, 1] * h
-
+    _, _, h, w = images.shape
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
@@ -123,7 +107,33 @@ def random_affine(
                                        cval=fill)
         )(img)
 
-    return jax.vmap(warp_one)(images, theta, s, tx, ty)
+    return jax.vmap(warp_one)(images, theta, scale, tx, ty)
+
+
+def random_affine(
+    key: Array,
+    images: Array,
+    degrees: float = AFFINE_DEGREES,
+    translate: float = AFFINE_TRANSLATE,
+    scale: Tuple[float, float] = AFFINE_SCALE,
+    fill: float = -1.0,
+) -> Array:
+    """Per-image random rotation + translation + scale for NCHW batches —
+    the on-device equivalent of the reference's ``RandomAffine(degrees=15,
+    translate=(0.05, 0.05), scale=(0.75, 1.25))`` (data_util.py:60); the
+    warp itself is ``affine_warp``.
+
+    ``fill`` handles out-of-bounds samples. The reference applies the affine
+    BEFORE ``Normalize(0.5, 0.5)`` with black (0) fill, which lands at −1.0
+    in the normalized [−1, 1] space these on-device batches live in — hence
+    the default."""
+    b, _, h, w = images.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    theta = jnp.deg2rad(
+        jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees))
+    s = jax.random.uniform(k2, (b,), minval=scale[0], maxval=scale[1])
+    t = jax.random.uniform(k3, (b, 2), minval=-translate, maxval=translate)
+    return affine_warp(images, theta, s, t[:, 0] * w, t[:, 1] * h, fill)
 
 
 def augment_images(key: Array, images: Array) -> Array:
