@@ -200,6 +200,56 @@ def test_affine_warp_scale_center_invariant():
                                atol=1e-5)
 
 
+def test_affine_warp_golden_vs_torch_grid_sample():
+    """Golden parity with the reference's augmentation backend: torchvision's
+    RandomAffine (data_util.py:60) lowers to an inverse affine matrix
+    (torchvision _get_inverse_affine_matrix, center=(0,0), shear=0) sampled
+    by ``F.grid_sample(mode="bilinear", padding_mode="zeros",
+    align_corners=False)``. Reconstruct that exact pipeline in torch (the
+    image has no torchvision, so the two-step lowering is inlined here) and
+    pin ``affine_warp`` against it on a non-square batch with simultaneous
+    rotation + scale + translation — interpolation weights, rotation
+    direction, center and fill blending all must agree."""
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    from vaesne_tpu.data import affine_warp
+
+    def torch_affine(img_t, angle_deg, tx, ty, scale):
+        rot = math.radians(angle_deg)
+        m = [math.cos(rot) / scale, math.sin(rot) / scale, 0.0,
+             -math.sin(rot) / scale, math.cos(rot) / scale, 0.0]
+        m[2] += m[0] * (-tx) + m[1] * (-ty)
+        m[5] += m[3] * (-tx) + m[4] * (-ty)
+        n = img_t.shape[0]
+        h, w = img_t.shape[-2:]
+        theta = torch.tensor(m, dtype=torch.float32).reshape(1, 2, 3)
+        base = torch.empty(1, h, w, 3)
+        base[..., 0] = torch.linspace(-w * 0.5 + 0.5, w * 0.5 - 0.5, w)
+        base[..., 1].copy_(torch.linspace(-h * 0.5 + 0.5,
+                                          h * 0.5 - 0.5, h)[:, None])
+        base[..., 2] = 1.0
+        rescaled = theta.transpose(1, 2) / torch.tensor([0.5 * w, 0.5 * h])
+        grid = (base.reshape(1, h * w, 3).expand(n, h * w, 3)
+                .bmm(rescaled.expand(n, 3, 2)).reshape(n, h, w, 2))
+        return F.grid_sample(img_t, grid, mode="bilinear",
+                             padding_mode="zeros", align_corners=False)
+
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 3, 17, 23)).astype(np.float32)
+    angle, tx, ty, scale = 12.5, 2.0, -1.5, 1.1
+    golden = torch_affine(torch.from_numpy(img), angle, tx, ty, scale).numpy()
+    ours = np.asarray(affine_warp(
+        jnp.asarray(img),
+        theta=jnp.full((2,), np.deg2rad(angle), jnp.float32),
+        scale=jnp.full((2,), scale, jnp.float32),
+        tx=jnp.full((2,), tx, jnp.float32),
+        ty=jnp.full((2,), ty, jnp.float32), fill=0.0))
+    np.testing.assert_allclose(ours, golden, atol=1e-5)
+
+
 def test_repeat_dataset():
     d = make_goldstein_like(n=8, spectrum_bins=16, photometry_length=4)
     spec = spectra_tuple(d)
