@@ -30,7 +30,7 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_test_cache"),
 )
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # Stable cache keys for programs containing custom_partitioning ops
 # (ops/partition.py wraps the Pallas kernels): the wrapper embeds a
