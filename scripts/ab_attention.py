@@ -1,12 +1,14 @@
 """A/B attention-kernel variants at the flagship bench point.
 
 VERDICT r1 weak #7: record the untried kernel variants honestly. Cases:
-  * q-tile 512/512 (default) vs fwd-1024 (and 1024/1024 if VMEM fits) —
-    legal only because the dropout bit-stream is seeded per absolute
-    128-row block (ops/attention.py::_dropout_mask), so fwd/bwd tiles can
-    differ while regenerating identical masks.
+  * dropout PRNG widths 32/16/8 (VAESNE_DROPOUT_BITS; the library default
+    is 8 since round 3 — the bits32 arm pins the pre-flip baseline
+    explicitly) at the default 1024/1024 q-tiles, plus the 512/512 tiling.
   * dropout on vs deterministic=True — puts a current number on the
-    "attention dropout costs ~15%" claim (PERFORMANCE.md).
+    dropout-chain cost claim (PERFORMANCE.md).
+  * folded vs unfolded 1/(1-rate) rescale (VAESNE_AB_UNFOLD).
+All arms pin VAESNE_DROPOUT_BITS explicitly so the table stays correct
+if the library default changes again.
 
 Each case runs in a fresh subprocess (env-driven trace-time dispatch;
 avoids cross-case jit cache effects) with the forced-sync protocol.
@@ -24,18 +26,21 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 CASES = [
-    # bf16 default tiles are 1024/1024 (ops/attention.py::_q_tile)
-    ("default dropout (qt1024/1024, bits32)", {}),
-    ("qt512/512 dropout", {"VAESNE_ATTN_QT_FWD": "512",
-                           "VAESNE_ATTN_QT_BWD": "512"}),
-    # round-2 queued: narrow dropout PRNG widths (correctness validated on
-    # hardware in round 2, speed never recorded — PERFORMANCE.md "Queued")
+    # bf16 default tiles are 1024/1024 (ops/attention.py::_q_tile); the
+    # library dropout-PRNG default flipped 32 -> 8 in round 3, so the
+    # pre-flip baseline must be pinned, not inherited
+    ("bits32 dropout (pre-r3 default, qt1024/1024)",
+     {"VAESNE_DROPOUT_BITS": "32"}),
+    ("qt512/512 bits32 dropout", {"VAESNE_ATTN_QT_FWD": "512",
+                                  "VAESNE_ATTN_QT_BWD": "512",
+                                  "VAESNE_DROPOUT_BITS": "32"}),
     ("bits16 dropout", {"VAESNE_DROPOUT_BITS": "16"}),
-    ("bits8 dropout", {"VAESNE_DROPOUT_BITS": "8"}),
-    # round-2 queued: no-dropout ablation at the CURRENT default tiles
+    ("bits8 dropout (library default)", {"VAESNE_DROPOUT_BITS": "8"}),
+    # no-dropout ablation at the default tiles
     ("default no-dropout", {"VAESNE_AB_DETERMINISTIC": "1"}),
-    # round-2 queued: folded-rescale delta (unfolded = the replaced variant)
-    ("unfolded rescale dropout", {"VAESNE_AB_UNFOLD": "1"}),
+    # folded-rescale delta (unfolded = the replaced variant)
+    ("unfolded rescale dropout", {"VAESNE_AB_UNFOLD": "1",
+                                  "VAESNE_DROPOUT_BITS": "32"}),
 ]
 
 B = 512

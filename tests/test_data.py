@@ -144,6 +144,39 @@ def test_random_affine_statistics(key):
     np.testing.assert_allclose(np.asarray(ident), np.asarray(imgs), atol=1e-5)
 
 
+def test_random_affine_translations_are_whole_pixels(key):
+    """torchvision RandomAffine.get_params rounds translations to whole
+    pixels (tx = int(round(uniform(-max_dx, max_dx)))); with rotation and
+    scale pinned to identity, every output must therefore be an EXACT
+    integer pixel shift of the input — no sub-pixel bilinear blur."""
+    imgs = make_images(n=8, img_size=11)
+    out = np.asarray(random_affine(key, imgs, degrees=0.0, translate=0.2,
+                                   scale=(1.0, 1.0)))
+    ref = np.asarray(imgs)
+    max_px = int(round(0.2 * 11))
+    for i in range(imgs.shape[0]):
+        match = False
+        for dx in range(-max_px, max_px + 1):
+            for dy in range(-max_px, max_px + 1):
+                shifted = np.full_like(ref[i], -1.0)
+                src = ref[i][
+                    :,
+                    max(0, -dy): ref.shape[2] - max(0, dy),
+                    max(0, -dx): ref.shape[3] - max(0, dx),
+                ]
+                shifted[
+                    :,
+                    max(0, dy): ref.shape[2] - max(0, -dy),
+                    max(0, dx): ref.shape[3] - max(0, -dx),
+                ] = src
+                if np.allclose(out[i], shifted, atol=1e-5):
+                    match = True
+                    break
+            if match:
+                break
+        assert match, f"image {i} is not an integer pixel shift"
+
+
 def test_random_affine_is_linear_in_pixels(key):
     """The warp is a fixed gather + constant fill for a given key, so it must
     be affine in pixel values: warp((a+b)/2) == (warp(a)+warp(b))/2. Catches

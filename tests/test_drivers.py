@@ -279,6 +279,48 @@ def test_driver_accum_parity_resume_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_driver_resume_survives_stale_or_corrupt_progress(tmp_path):
+    """A crash between the orbax checkpoint save and the progress.json write
+    leaves a progress record one save window behind the checkpoint's step
+    counter; a kill mid-write can leave truncated JSON. Neither may brick
+    resume: the epoch-aligned step counter is authoritative."""
+    import json
+
+    from vaesne_tpu.data import make_goldstein_like
+    from vaesne_tpu.experiments.train_photospectra import main
+
+    data = make_goldstein_like(n=24, seed=0, spectrum_bins=48,
+                               photometry_length=16)
+    npz = os.path.join(tmp_path, "goldstein.npz")
+    np.savez(npz, **data)
+    common = [
+        f"data={npz}",
+        "model.latent_len=2", "model.num_layers=1", "model.model_dim=16",
+        "model.num_heads=2", "model.ff_dim=16",
+        "train.batch_size=8", "train.K=1", "train.save_every=1",
+        f"train.ckpt_dir={tmp_path}", f"train.log_dir={tmp_path}",
+    ]
+    state1, _ = main(common + ["train.epochs=2"])
+    assert int(state1.step) == 4  # 16 train samples / batch 8, 2 epochs
+    ckpt = next(d for d in os.listdir(tmp_path)
+                if os.path.isdir(os.path.join(tmp_path, str(d), "state")))
+    progress = os.path.join(tmp_path, ckpt, "progress.json")
+
+    # stale record (crash window): checkpoint at epoch 2, record says 1
+    with open(progress, "w") as f:
+        json.dump({"epochs_done": 1}, f)
+    state2, losses2 = main(common + ["train.epochs=3", "train.resume=true"])
+    assert int(state2.step) == 6, "resume must trust the checkpoint step"
+    assert len(losses2) == 3
+
+    # corrupt record (kill mid-write): resume falls back to the step counter
+    with open(progress, "w") as f:
+        f.write('{"epochs_do')
+    state3, _ = main(common + ["train.epochs=4", "train.resume=true"])
+    assert int(state3.step) == 8
+
+
+@pytest.mark.slow
 def test_bench_contract_cpu(tmp_path, capsys, monkeypatch):
     """bench.py is the driver's measurement contract: its child mode must
     print EXACTLY one JSON line with the required keys. Run in-process at a
@@ -289,6 +331,14 @@ def test_bench_contract_cpu(tmp_path, capsys, monkeypatch):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     monkeypatch.syspath_prepend(repo)
     monkeypatch.setenv("VAESNE_BENCH_CHILD", "1")
+    # bench.py setdefaults VAESNE_BF16/REMAT/COMPILE_CACHE at IMPORT time
+    # (the driver contract for child subprocesses). In-process that would
+    # leak bf16 compute into every later test in the same pytest run (the
+    # golden-parity tolerances are fp32-only) — pin them via monkeypatch
+    # first so the setdefaults are no-ops and teardown restores the world.
+    monkeypatch.setenv("VAESNE_BF16", "0")
+    monkeypatch.setenv("VAESNE_REMAT", "0")
+    monkeypatch.setenv("VAESNE_COMPILE_CACHE", "")
     import bench
 
     monkeypatch.setattr(bench, "B", 2)

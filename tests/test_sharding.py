@@ -463,12 +463,21 @@ class TestPallasHeadSharding:
 
     @pytest.mark.slow
     def test_head_sharded_dropout_runs_decorrelated(self, rng):
-        """With dropout active, head shards draw disjoint mask streams:
-        the op must compile gather-free and keep ~(1-rate) of the weights
-        (statistical check on the output norm vs the deterministic run)."""
+        """With dropout active, head shards draw DISJOINT mask streams.
+
+        Construction: all H heads carry identical q/k/v content, so without
+        dropout every head's output block is identical. Under head sharding
+        (model=4 -> one head per shard) each shard's kernel sees local head
+        index 0 — if the shard seed offset (_seed_lower_fn) were missing,
+        every shard would regenerate the SAME mask stream and the identical
+        inputs would produce identical head blocks. The offset makes each
+        shard's stream disjoint, so every pair of head blocks must differ."""
         from vaesne_tpu.ops.attention import fused_attention
 
-        args = self._qkvb(rng)
+        q, k, v, bias = self._qkvb(rng, dh=4)
+        # tile head 0's block across all H heads (packed E = H*dh, dim 1)
+        tile = lambda a: jnp.tile(a[:, :4, :], (1, self.H, 1))
+        args = (tile(q), tile(k), tile(v), bias)
         seed = jnp.int32(123)
 
         def f(q, k, v, bias):
@@ -486,6 +495,17 @@ class TestPallasHeadSharding:
 
         out0 = np.asarray(jax.jit(f0)(*sharded))
         assert not np.allclose(out, out0), "dropout had no effect"
+        # identical inputs per head: without dropout the blocks coincide ...
+        blocks0 = [out0[:, 4 * h: 4 * (h + 1), :] for h in range(self.H)]
+        for hb in blocks0[1:]:
+            np.testing.assert_allclose(hb, blocks0[0], rtol=1e-5, atol=1e-6)
+        # ... with dropout every pair must differ (disjoint mask streams
+        # across shards; correlated streams would reproduce head 0's block)
+        blocks = [out[:, 4 * h: 4 * (h + 1), :] for h in range(self.H)]
+        for i in range(self.H):
+            for j in range(i + 1, self.H):
+                assert not np.allclose(blocks[i], blocks[j]), (
+                    f"head shards {i} and {j} drew correlated dropout masks")
 
 
 def test_tp_divisibility_check(rng, key):

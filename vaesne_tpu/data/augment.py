@@ -133,7 +133,12 @@ def random_affine(
         jax.random.uniform(k1, (b,), minval=-degrees, maxval=degrees))
     s = jax.random.uniform(k2, (b,), minval=scale[0], maxval=scale[1])
     t = jax.random.uniform(k3, (b, 2), minval=-translate, maxval=translate)
-    return affine_warp(images, theta, s, t[:, 0] * w, t[:, 1] * h, fill)
+    # torchvision rounds translations to WHOLE pixels
+    # (RandomAffine.get_params: tx = int(round(uniform(-max_dx, max_dx))));
+    # match that marginal distribution, not a continuous sub-pixel shift
+    tx = jnp.round(t[:, 0] * w)
+    ty = jnp.round(t[:, 1] * h)
+    return affine_warp(images, theta, s, tx, ty, fill)
 
 
 def augment_images(key: Array, images: Array) -> Array:

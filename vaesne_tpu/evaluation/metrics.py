@@ -15,6 +15,7 @@ These run on host (numpy) over arrays produced by the sharded device pass in
 
 from __future__ import annotations
 
+import warnings
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -48,17 +49,23 @@ def aggr_phase(
     """Returns (resi_mean, resi_sd, cover_mean, width_mean, width_sd, mse),
     each a list with one entry per phase bucket."""
     resi_mean, resi_sd, cover_mean, width_mean, width_sd, mse = ([] for _ in range(6))
-    for phase_i in phases:
-        sel = phase == phase_i
-        resi_ = resi[sel, :]
-        cover_ = cover[sel, :]
-        resi_mean.append(np.nanmean(resi_, 0))
-        resi_sd.append(np.nanstd(resi_, 0))
-        cover_mean.append(np.nanmean(1.0 * cover_, 0))
-        # reference aggregates width over ALL phases (evaluation.py:32-33)
-        width_mean.append(np.nanmean(width, 0))
-        width_sd.append(np.nanstd(width, 0))
-        mse.append(np.nanmean(resi_**2))
+    with warnings.catch_warnings():
+        # An empty phase bucket yields NaN aggregates — the reference's
+        # behavior for a test shard with no events at that phase; the
+        # "Mean of empty slice" RuntimeWarning is just noise.
+        warnings.filterwarnings("ignore", "Mean of empty slice")
+        warnings.filterwarnings("ignore", "Degrees of freedom <= 0")
+        for phase_i in phases:
+            sel = phase == phase_i
+            resi_ = resi[sel, :]
+            cover_ = cover[sel, :]
+            resi_mean.append(np.nanmean(resi_, 0))
+            resi_sd.append(np.nanstd(resi_, 0))
+            cover_mean.append(np.nanmean(1.0 * cover_, 0))
+            # reference aggregates width over ALL phases (evaluation.py:32-33)
+            width_mean.append(np.nanmean(width, 0))
+            width_sd.append(np.nanstd(width, 0))
+            mse.append(np.nanmean(resi_**2))
     return resi_mean, resi_sd, cover_mean, width_mean, width_sd, mse
 
 

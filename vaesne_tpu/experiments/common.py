@@ -199,25 +199,45 @@ def train_loop(
             n = jax.tree_util.tree_leaves(train_data)[0].shape[0]
             steps_per_epoch = n // train_cfg.batch_size
             progress_file = os.path.join(ckpt_path, "progress.json")
+            recorded = None
             if os.path.exists(progress_file):
                 # explicit epoch record written at save time — immune to
                 # dataset-size/repeat-factor drift between runs
                 import json as _json
 
-                with open(progress_file) as f:
-                    start_epoch = int(_json.load(f)["epochs_done"])
-                if int(state.step) != start_epoch * steps_per_epoch:
-                    raise ValueError(
-                        f"resume geometry mismatch at {ckpt_path}: the "
-                        f"checkpoint records {start_epoch} completed epochs "
-                        f"at step {int(state.step)}, but the current data/"
-                        f"batch settings give {steps_per_epoch} steps/epoch "
-                        f"(expected step {start_epoch * steps_per_epoch}). "
-                        "The dataset size, repeat factor, or batch size "
-                        "changed since the original run."
+                try:
+                    with open(progress_file) as f:
+                        recorded = int(_json.load(f)["epochs_done"])
+                except (ValueError, KeyError, OSError):
+                    # truncated/corrupt record (e.g. killed mid-write before
+                    # the atomic-rename fix): fall back to the step counter
+                    recorded = None
+            step = int(state.step)
+            if step % max(1, steps_per_epoch) == 0:
+                # The checkpoint's own step counter is authoritative: if it
+                # is still epoch-aligned under the CURRENT geometry, derive
+                # the resume epoch from it. progress.json may legitimately
+                # lag one save window behind (a crash between the orbax save
+                # and the progress write) — that must not brick resume.
+                start_epoch = step // max(1, steps_per_epoch)
+                if recorded is not None and recorded != start_epoch and log:
+                    print(
+                        f"progress.json records {recorded} epochs but the "
+                        f"checkpoint step {step} implies {start_epoch}; "
+                        "using the checkpoint (stale progress record)"
                     )
+            elif recorded is not None:
+                raise ValueError(
+                    f"resume geometry mismatch at {ckpt_path}: the "
+                    f"checkpoint records {recorded} completed epochs "
+                    f"at step {step}, but the current data/"
+                    f"batch settings give {steps_per_epoch} steps/epoch "
+                    f"(expected step {recorded * steps_per_epoch}). "
+                    "The dataset size, repeat factor, or batch size "
+                    "changed since the original run."
+                )
             else:  # pre-progress.json checkpoint: infer from the step count
-                start_epoch = int(state.step) // max(1, steps_per_epoch)
+                start_epoch = step // max(1, steps_per_epoch)
             losses_file = os.path.join(ckpt_path, "losses.npy")
             if os.path.exists(losses_file):
                 losses = [float(v) for v in np.load(losses_file)][:start_epoch]
@@ -266,8 +286,12 @@ def train_loop(
                     np.asarray(losses, np.float64))
             import json as _json
 
-            with open(os.path.join(ckpt_path, "progress.json"), "w") as f:
+            # atomic: a kill mid-write must never leave truncated JSON that
+            # a later resume would trip over
+            progress_tmp = os.path.join(ckpt_path, "progress.json.tmp")
+            with open(progress_tmp, "w") as f:
                 _json.dump({"epochs_done": epoch + 1}, f)
+            os.replace(progress_tmp, os.path.join(ckpt_path, "progress.json"))
             os.makedirs(train_cfg.log_dir, exist_ok=True)
             plot_loss_curve(
                 losses, path=os.path.join(train_cfg.log_dir, f"{ckpt_name}_loss.png")
