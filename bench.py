@@ -134,6 +134,7 @@ def main():
         "unit": "samples/sec",
         "vs_baseline": round(sps / REFERENCE_CPU_SAMPLES_PER_SEC, 2),
         "precision": "bf16" if os.environ.get("VAESNE_BF16") != "0" else "fp32",
+        "devices": n_dev,
     }))
 
 
@@ -189,8 +190,11 @@ def _run_with_watchdog():
         # audited constant from scripts/mfu.py (XLA cost model on the
         # pure-XLA lowering of the identical program); only meaningful
         # against the bf16 peak — skip when VAESNE_BF16=0 was inherited.
+        # `value` is GLOBAL samples/sec (the batch scales with the device
+        # count), so normalize by the aggregate peak of all chips.
+        peak = V5E_PEAK_BF16 * result.get("devices", 1)
         result["mfu_pct"] = round(
-            100 * FLOPS_PER_SAMPLE * result["value"] / V5E_PEAK_BF16, 2)
+            100 * FLOPS_PER_SAMPLE * result["value"] / peak, 2)
     print(json.dumps(result), flush=True)
     # fp32 companion number (VERDICT r1: "bench reports bf16 only" — the
     # parity suite runs fp32, so record both precisions side by side). The

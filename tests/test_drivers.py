@@ -319,6 +319,16 @@ def test_driver_resume_survives_stale_or_corrupt_progress(tmp_path):
     state3, _ = main(common + ["train.epochs=4", "train.resume=true"])
     assert int(state3.step) == 8
 
+    # record AHEAD of the step-derived epoch: a stale record can only LAG
+    # (checkpoint saves before the progress write), so ahead means the
+    # data/batch geometry drifted while the step count happens to divide
+    # the new steps_per_epoch — must error, not silently resume at the
+    # mis-derived epoch
+    with open(progress, "w") as f:
+        json.dump({"epochs_done": 5}, f)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        main(common + ["train.epochs=5", "train.resume=true"])
+
 
 @pytest.mark.slow
 def test_bench_contract_cpu(tmp_path, capsys, monkeypatch):
@@ -352,8 +362,12 @@ def test_bench_contract_cpu(tmp_path, capsys, monkeypatch):
     json_lines = [l for l in out.splitlines() if l.startswith("{")]
     assert len(json_lines) == 1, out
     rec = json.loads(json_lines[0])
-    for k in ("metric", "value", "unit", "vs_baseline", "precision"):
+    for k in ("metric", "value", "unit", "vs_baseline", "precision",
+              "devices"):
         assert k in rec, k
+    # value is GLOBAL samples/sec; the watchdog normalizes MFU by
+    # devices * per-chip peak, so the child must report the device count
+    assert rec["devices"] == jax.device_count()
     assert rec["unit"] == "samples/sec" and rec["value"] > 0
     # the audited FLOPs constant must stay wired for the mfu_pct field
     assert bench.FLOPS_PER_SAMPLE and bench.FLOPS_PER_SAMPLE > 1e9

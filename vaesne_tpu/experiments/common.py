@@ -220,6 +220,21 @@ def train_loop(
                 # lag one save window behind (a crash between the orbax save
                 # and the progress write) — that must not brick resume.
                 start_epoch = step // max(1, steps_per_epoch)
+                if recorded is not None and recorded > start_epoch:
+                    # A stale record can only LAG the step counter (the
+                    # orbax save happens before the progress write), so a
+                    # record AHEAD of the derived epoch means the derivation
+                    # itself is wrong: the data/batch geometry drifted and
+                    # step just happens to divide the new steps_per_epoch.
+                    raise ValueError(
+                        f"resume geometry mismatch at {ckpt_path}: the "
+                        f"checkpoint records {recorded} completed epochs "
+                        f"at step {step}, but the current data/batch "
+                        f"settings give {steps_per_epoch} steps/epoch "
+                        f"(which implies only {start_epoch} epochs). The "
+                        "dataset size, repeat factor, or batch size "
+                        "changed since the original run."
+                    )
                 if recorded is not None and recorded != start_epoch and log:
                     print(
                         f"progress.json records {recorded} epochs but the "

@@ -336,6 +336,15 @@ def try_latent_swap(data_path, photo_ckpt, spec_ckpt, K, n_show, out_dir):
     from .train_photometry import build_model as build_photo
     from .train_spectra import build_model as build_spec
 
+    if not photo_ckpt or not spec_ckpt:
+        # without checkpoints _restore would silently run the experiment on
+        # freshly-initialized weights and save a meaningless figure
+        raise ValueError(
+            "model=latent_swap needs trained unimodal checkpoints: pass "
+            "photo_ckpt=<path> spec_ckpt=<path> (e.g. the shipped "
+            "artifacts/ckpt/goldstein_{photometry,spectra}_4-4)"
+        )
+
     data = resolve_dataset(data_path, "goldstein")
     te_idx = np.asarray(data["testing_idx"])[:n_show]
     photo = photometry_tuple(data, idx=te_idx)

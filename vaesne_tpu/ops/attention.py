@@ -188,7 +188,9 @@ def _ab_unfold() -> bool:
     of folding it onto matmul outputs/scalars — the exact variant the folded
     default replaced, kept so ``scripts/ab_attention.py`` can measure the
     fold's end-to-end delta honestly. Never set in production."""
-    return os.environ.get("VAESNE_AB_UNFOLD", "0") not in ("0", "false")
+    from .dispatch import env_flag
+
+    return env_flag("VAESNE_AB_UNFOLD", False)
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,

@@ -14,11 +14,17 @@ import os
 import jax
 
 
+def env_flag(name: str, default: bool) -> bool:
+    """Trace-time boolean env knob: anything but ``0``/``false``/``False``
+    is true. The single parse shared by every VAESNE_* flag."""
+    env = os.environ.get(name)
+    if env is None:
+        return default
+    return env not in ("0", "false", "False")
+
+
 def use_pallas() -> bool:
-    env = os.environ.get("VAESNE_PALLAS")
-    if env is not None:
-        return env not in ("0", "false", "False")
-    return jax.default_backend() == "tpu"
+    return env_flag("VAESNE_PALLAS", jax.default_backend() == "tpu")
 
 
 def pallas_interpret() -> bool:
@@ -27,5 +33,4 @@ def pallas_interpret() -> bool:
     the exact kernel code the TPU runs — e.g. the virtual-8-device sharding
     suite exercising the custom-partitioning wrappers — at interpreted-mode
     speed. Production TPU runs leave this unset (compiled kernels)."""
-    return os.environ.get("VAESNE_PALLAS_INTERPRET", "0") not in (
-        "0", "false", "False")
+    return env_flag("VAESNE_PALLAS_INTERPRET", False)

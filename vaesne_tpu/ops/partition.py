@@ -48,8 +48,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def shard_kernels() -> bool:
-    return os.environ.get("VAESNE_SHARD_KERNELS", "1") not in (
-        "0", "false", "False")
+    from .dispatch import env_flag
+
+    return env_flag("VAESNE_SHARD_KERNELS", True)
 
 
 def axes_on_dim(sharding, dim: int) -> tuple:
