@@ -60,18 +60,24 @@ WINDOWS = 2  # report the best window (honest ~2s/step: keep total wall low)
 
 
 def make_batch(B):
+    # Host-side numpy ONLY: each eager jnp op here would compile its own
+    # tiny XLA program, and the tunneled compile service charges ~60 s per
+    # uncached compile (measured 2026-08-19: six one-op programs at exactly
+    # 60 s spacing burned the fp32 child's whole timeout before the train
+    # step ever compiled). jit converts numpy operands at dispatch with no
+    # standalone programs.
     rng = np.random.default_rng(0)
     photo = (
-        jnp.asarray(rng.normal(size=(B, LP)), jnp.float32),
-        jnp.asarray(np.sort(rng.uniform(-1, 1, (B, LP)), axis=1), jnp.float32),
-        jnp.asarray(rng.integers(0, 6, (B, LP)), jnp.int32),
-        jnp.asarray(rng.uniform(size=(B, LP)) < 0.2),
+        rng.normal(size=(B, LP)).astype(np.float32),
+        np.sort(rng.uniform(-1, 1, (B, LP)), axis=1).astype(np.float32),
+        rng.integers(0, 6, (B, LP)).astype(np.int32),
+        rng.uniform(size=(B, LP)) < 0.2,
     )
     spec = (
-        jnp.asarray(rng.normal(size=(B, NS)), jnp.float32),
-        jnp.asarray(np.linspace(-1, 1, NS)[None].repeat(B, 0), jnp.float32),
-        jnp.asarray(rng.normal(size=(B,)), jnp.float32),
-        jnp.asarray(rng.uniform(size=(B, NS)) < 0.2),
+        rng.normal(size=(B, NS)).astype(np.float32),
+        np.linspace(-1, 1, NS, dtype=np.float32)[None].repeat(B, 0),
+        rng.normal(size=(B,)).astype(np.float32),
+        rng.uniform(size=(B, NS)) < 0.2,
     )
     return (photo, spec)
 
@@ -94,7 +100,10 @@ def main():
     # batch scales with the device count, per-chip work stays B samples
     n_dev = jax.device_count()
     global_b = B * n_dev
-    batch = make_batch(global_b)
+    # device_put is a transfer, not a compile: the batch lands on-device
+    # once (so the timed loop never pays host->device) without any of the
+    # per-op XLA programs that eager jnp construction would compile.
+    batch = jax.device_put(make_batch(global_b))
     key = jax.random.PRNGKey(0)
     params = init_model(model, batch, key, K=K)
     opt = adamw(1e-4)
@@ -199,10 +208,31 @@ def _run_with_watchdog():
     # fp32 companion number (VERDICT r1: "bench reports bf16 only" — the
     # parity suite runs fp32, so record both precisions side by side). The
     # bf16 number stays the headline `value`; fp32 is strictly best-effort
-    # AFTER the headline is already on stdout.
-    fp32 = _child_json({"VAESNE_BF16": "0"}, attempts=1, timeout=480)
+    # AFTER the headline is already on stdout. Even warm, the fp32 leg
+    # measures ~342 s through the tunnel (2026-08-19), so 450 s admits it
+    # while bf16(~100 s warm) + fp32 stays inside the driver's >=900 s
+    # per-attempt budget.
+    fp32 = _child_json({"VAESNE_BF16": "0"}, attempts=1, timeout=450)
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_fp32.json")
     if fp32 is not None:
         result["fp32_samples_per_sec"] = fp32["value"]
+        try:
+            with open(cache_path, "w") as f:
+                json.dump({"value": fp32["value"],
+                           "measured_at": time.strftime("%Y-%m-%d %H:%M")},
+                          f)
+        except OSError:
+            pass
+    elif os.path.exists(cache_path):
+        # The tunnel hung the live fp32 leg; report the last number this
+        # same checkout measured on this chip, explicitly labeled as such
+        # so the record never passes a stale reading off as live.
+        with open(cache_path) as f:
+            prior = json.load(f)
+        result["fp32_samples_per_sec"] = prior["value"]
+        result["fp32_cached_from"] = prior["measured_at"]
+    if "fp32_samples_per_sec" in result:
         print(json.dumps(result), flush=True)
     return 0
 

@@ -371,3 +371,50 @@ def test_bench_contract_cpu(tmp_path, capsys, monkeypatch):
     assert rec["unit"] == "samples/sec" and rec["value"] > 0
     # the audited FLOPs constant must stay wired for the mfu_pct field
     assert bench.FLOPS_PER_SAMPLE and bench.FLOPS_PER_SAMPLE > 1e9
+
+
+def test_bench_watchdog_fp32_fallback(tmp_path, capsys, monkeypatch):
+    """When the live fp32 companion child fails (tunnel hang), the enriched
+    line must fall back to the last persisted fp32 measurement and label it
+    (fp32_cached_from) — never silently pass a stale reading off as live."""
+    import json
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.syspath_prepend(repo)
+    monkeypatch.setenv("VAESNE_BF16", "0")
+    monkeypatch.setenv("VAESNE_REMAT", "0")
+    monkeypatch.setenv("VAESNE_COMPILE_CACHE", "")
+    import bench
+
+    headline = {"metric": "m", "value": 100.0, "unit": "samples/sec",
+                "vs_baseline": 250.0, "precision": "bf16", "devices": 1}
+    calls = []
+
+    def fake_child(extra_env, attempts=2, timeout=480):
+        calls.append(extra_env)
+        return dict(headline) if not extra_env else None  # fp32 leg fails
+
+    monkeypatch.setattr(bench, "_child_json", fake_child)
+    cache = os.path.join(repo, ".bench_fp32.json")
+    had = os.path.exists(cache)
+    prior = open(cache).read() if had else None
+    try:
+        with open(cache, "w") as f:
+            json.dump({"value": 728.22, "measured_at": "2026-08-19 19:13"}, f)
+        bench._run_with_watchdog()
+    finally:
+        if had:
+            with open(cache, "w") as f:
+                f.write(prior)
+        else:
+            os.remove(cache)
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    # headline first (so a driver timeout still records it), enriched second
+    assert len(lines) == 2
+    assert "fp32_samples_per_sec" not in lines[0]
+    assert lines[1]["fp32_samples_per_sec"] == 728.22
+    assert lines[1]["fp32_cached_from"] == "2026-08-19 19:13"
+    assert lines[1]["mfu_pct"] > 0  # bf16 headline still gets MFU
+    assert calls == [{}, {"VAESNE_BF16": "0"}]
