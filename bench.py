@@ -86,7 +86,7 @@ def main():
     from vaesne_tpu import objectives
     from vaesne_tpu.models import PhotoSpecMMVAE, PhotometricVAE, SpectraVAE
     from vaesne_tpu.parallel import make_mesh, replicate_state, shard_batch
-    from vaesne_tpu.training import TrainState, adamw, init_model, make_train_step
+    from vaesne_tpu.training import TrainState, adamw, make_train_step
 
     model = PhotoSpecMMVAE(
         vaes=[
@@ -104,10 +104,22 @@ def main():
     # once (so the timed loop never pays host->device) without any of the
     # per-op XLA programs that eager jnp construction would compile.
     batch = jax.device_put(make_batch(global_b))
-    key = jax.random.PRNGKey(0)
-    params = init_model(model, batch, key, K=K)
     opt = adamw(1e-4)
-    state = TrainState.create(params, opt, key)
+
+    # ONE jitted program for the whole setup (PRNG, flax init, optimizer
+    # init): each eager op here would be its own tiny XLA compile at ~60 s
+    # of tunnel latency when uncached. Semantics identical to
+    # init_model(...) + TrainState.create(...): params from the split
+    # keys, state rng = the root key.
+    @jax.jit
+    def _setup(b):
+        root = jax.random.PRNGKey(0)
+        k_param, k_sample = jax.random.split(root)
+        params = model.init({"params": k_param, "sample": k_sample},
+                            b, K)["params"]
+        return TrainState.create(params, opt, root)
+
+    state = _setup(batch)
     if n_dev > 1:
         mesh = make_mesh()
         state = replicate_state(state, mesh)

@@ -92,14 +92,21 @@ class TrainState(struct.PyTreeNode):
 
 
 def init_model(model, x, key: Array, K: int = 1, has_sample_rng: bool = True):
-    """Initialize model parameters on an example batch."""
+    """Initialize model parameters on an example batch.
+
+    The init runs as ONE jitted program: run eagerly, flax dispatches
+    every op as its own tiny XLA compile — harmless locally, but a
+    tunneled TPU compile service charges ~60 s per uncached program
+    (measured 2026-08-19: the eager init chain cost the bench minutes of
+    one-op compiles), and one program is one persistent-cache entry.
+    """
     k_param, k_sample = jax.random.split(key)
     rngs = {"params": k_param}
     if has_sample_rng:
         rngs["sample"] = k_sample
-        variables = model.init(rngs, x, K)
+        variables = jax.jit(lambda r, ex: model.init(r, ex, K))(rngs, x)
     else:
-        variables = model.init(rngs, x)
+        variables = jax.jit(model.init)(rngs, x)
     return variables["params"]
 
 
