@@ -354,3 +354,18 @@ def test_train_loop_parity_preset(tmp_path):
                                ckpt_name="p")
     assert np.all(np.isfinite(losses))
     assert (tmp_path / "ckpt" / "p" / "losses.npy").exists()
+
+
+def test_init_model_jit_matches_eager(key):
+    """init_model runs flax init under ONE jax.jit (tunnel compile
+    economics, PERFORMANCE.md); the jitted program must produce
+    bit-identical parameters to the eager path it replaced."""
+    model = PhotometricVAE(num_bands=2, **SMALL)
+    x = _tiny_photo_data(n=4, L=8)
+    jitted = init_model(model, x, key, K=2)
+    k_param, k_sample = jax.random.split(key)
+    eager = model.init({"params": k_param, "sample": k_sample}, x, 2)["params"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        jitted, eager)
