@@ -221,10 +221,10 @@ def _run_with_watchdog():
     # parity suite runs fp32, so record both precisions side by side). The
     # bf16 number stays the headline `value`; fp32 is strictly best-effort
     # AFTER the headline is already on stdout. Even warm, the fp32 leg
-    # measures ~342 s through the tunnel (2026-08-19), so 450 s admits it
+    # varies 250-480 s through the tunnel (2026-08-19), so 540 s admits it
     # while bf16(~100 s warm) + fp32 stays inside the driver's >=900 s
     # per-attempt budget.
-    fp32 = _child_json({"VAESNE_BF16": "0"}, attempts=1, timeout=450)
+    fp32 = _child_json({"VAESNE_BF16": "0"}, attempts=1, timeout=540)
     cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_fp32.json")
     if fp32 is not None:

@@ -265,6 +265,12 @@ def train_loop(
         elif log:
             print(f"resume requested but no checkpoint at {ckpt_path}; "
                   "starting fresh")
+    if augment_fn is not None:
+        # ONE compiled program per epoch instead of an eager op-chain: the
+        # tunneled TPU compile service charges ~60 s per uncached one-op
+        # program (PERFORMANCE.md "Tunnel compile economics"); every
+        # augment_* in data/augment.py is shape-static and jit-safe.
+        augment_fn = jax.jit(augment_fn)
     if parity and augment_fn is not None:
         # reference dynamics: ONE augmentation draw before training
         # (test_photometry.py:41-44 augments the host arrays once), not a
