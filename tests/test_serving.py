@@ -1,0 +1,176 @@
+"""InferenceServer: bucketed static-shape program reuse, pad-row isolation,
+and agreement with direct model.apply calls."""
+
+import jax
+import numpy as np
+import pytest
+
+from vaesne_tpu.models import PhotometricVAE, PhotoSpecMMVAE, SpectraVAE
+from vaesne_tpu.serving import InferenceServer, _pad_to
+
+LP, NS = 12, 40
+
+
+def _batch(n, seed=0):
+    rng = np.random.default_rng(seed)
+    photo = (
+        rng.normal(size=(n, LP)).astype(np.float32),
+        np.sort(rng.uniform(-1, 1, (n, LP)), axis=1).astype(np.float32),
+        rng.integers(0, 6, (n, LP)).astype(np.int32),
+        rng.uniform(size=(n, LP)) < 0.2,
+    )
+    spec = (
+        rng.normal(size=(n, NS)).astype(np.float32),
+        np.linspace(-1, 1, NS, dtype=np.float32)[None].repeat(n, 0),
+        rng.normal(size=(n,)).astype(np.float32),
+        rng.uniform(size=(n, NS)) < 0.2,
+    )
+    return photo, spec
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = PhotoSpecMMVAE(
+        vaes=[
+            PhotometricVAE(num_bands=6, latent_len=2, latent_dim=2,
+                           model_dim=16, ff_dim=16, num_layers=1, num_heads=2),
+            SpectraVAE(latent_len=2, latent_dim=2, model_dim=16, ff_dim=16,
+                       num_layers=1, num_heads=2),
+        ],
+        beta=1.0,
+    )
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "sample": key}, _batch(2), 1)
+    return InferenceServer(model, variables, buckets=(4, 8, 16), seed=0)
+
+
+def test_bucket_reuse(server):
+    photo, spec = _batch(3)
+    out3 = server.crossmodal(photo, spec, K=2)
+    assert out3.shape == (2, 3, NS)
+    assert server.stats()["compiles"] == 1
+    # a different size in the SAME bucket reuses the program
+    photo2, spec2 = _batch(4, seed=1)
+    out4 = server.crossmodal(photo2, spec2, K=2)
+    assert out4.shape == (2, 4, NS)
+    stats = server.stats()
+    assert stats["compiles"] == 1 and stats["hits"] == 1
+    # crossing a bucket boundary compiles exactly once more
+    photo3, spec3 = _batch(7, seed=2)
+    assert server.crossmodal(photo3, spec3, K=2).shape == (2, 7, NS)
+    assert server.stats()["compiles"] == 2
+
+
+def test_oversized_request_raises(server):
+    photo, spec = _batch(17)
+    with pytest.raises(ValueError, match="largest serving bucket"):
+        server.crossmodal(photo, spec)
+
+
+def test_pad_rows_do_not_leak(server):
+    """Real-event outputs must be identical whatever fills the pad rows —
+    per-event independence of the whole encode/sample/decode graph."""
+    photo, spec = _batch(3, seed=3)
+    key = jax.random.PRNGKey(7)
+    a = server.crossmodal(photo, spec, K=2, key=key)
+
+    zeros = jax.tree_util.tree_map(
+        lambda x: np.zeros_like(np.asarray(x)), (photo, spec))
+    filled = jax.tree_util.tree_map(
+        lambda real, z: np.concatenate([np.asarray(real), z[:1]], axis=0),
+        (photo, spec), zeros)
+    b = server.crossmodal(filled[0], filled[1], K=2, key=key)[:, :3]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_matches_direct_apply(server):
+    photo, spec = _batch(4, seed=4)  # exactly a bucket: no padding involved
+    key = jax.random.PRNGKey(11)
+    served = server.crossmodal(photo, spec, K=3, key=key)
+    direct = server._model.apply(
+        server._variables, photo, spec, direction=(0, 1), K=3,
+        method="crossmodgen", rngs={"sample": key})
+    np.testing.assert_allclose(np.asarray(served), np.asarray(direct),
+                               rtol=1e-6)
+
+
+def test_crossmodal_ci_shapes_and_order(server):
+    photo, spec = _batch(5, seed=5)
+    mean, lo, hi = server.crossmodal_ci(photo, spec, K=16,
+                                        key=jax.random.PRNGKey(3))
+    assert mean.shape == lo.shape == hi.shape == (5, NS)
+    assert bool((np.asarray(lo) <= np.asarray(hi)).all())
+
+
+def test_embed(server):
+    photo, spec = _batch(6, seed=6)
+    z = server.embed(photo, modality=0)
+    assert z.shape == (6, 2, 2)
+    z_direct = server._model.vaes[0].apply(
+        {"params": server._variables["params"]["vaes_0"]}, photo,
+        method="encode")
+    # padded (bucket-8) vs natural-shape programs reassociate float ops
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_direct),
+                               rtol=1e-4, atol=1e-5)
+    assert server.embed(spec, modality=1).shape == (6, 2, 2)
+
+
+def test_reconstruct_matrix(server):
+    batch = _batch(3, seed=7)
+    out = server.reconstruct(batch, K=2, key=jax.random.PRNGKey(5))
+    assert len(out) == 2 and len(out[0]) == 2
+    assert out[0][0].shape == (2, 3, LP)   # LC→LC
+    assert out[0][1].shape == (2, 3, NS)   # LC→spec
+    assert out[1][0].shape == (2, 3, LP)   # spec→LC
+    assert out[1][1].shape == (2, 3, NS)   # spec→spec
+
+
+def test_pad_to_helper():
+    a = np.arange(6, dtype=np.float32).reshape(3, 2)
+    padded = np.asarray(_pad_to(a, 5))
+    assert padded.shape == (5, 2)
+    np.testing.assert_array_equal(padded[3], a[0])
+    np.testing.assert_array_equal(padded[:3], a)
+
+
+def test_from_checkpoint_roundtrip(tmp_path):
+    """Train 1 epoch via the flagship driver machinery, then serve the
+    checkpoint: from_checkpoint must rebuild the exact architecture."""
+    from vaesne_tpu import objectives
+    from vaesne_tpu.data import make_goldstein_like, multimodal_tuple
+    from vaesne_tpu.experiments.common import train_loop
+    from vaesne_tpu.experiments.train_photospectra import build_model
+    from vaesne_tpu.utils.config import PhotoSpectraMMVAEConfig, parse_overrides
+
+    cfg = parse_overrides(PhotoSpectraMMVAEConfig(), [
+        "model.latent_len=2", "model.latent_dim=2", "model.model_dim=16",
+        "model.ff_dim=16", "model.num_layers=1", "model.num_heads=2",
+        "train.epochs=1", "train.batch_size=4", "train.K=1",
+        "train.save_every=1", f"train.ckpt_dir={tmp_path}",
+        f"train.log_dir={tmp_path / 'logs'}",
+    ])
+    data = make_goldstein_like(n=8, seed=0, spectrum_bins=32,
+                               photometry_length=8)
+    train_data = multimodal_tuple(data)
+    model = build_model(cfg)
+
+    def loss_fn(m, variables, batch, key):
+        return objectives.m_iwae(m, variables, batch, K=1, key=key,
+                                 deterministic=False)
+
+    state, _ = train_loop(model, train_data, loss_fn, cfg.train, config=cfg,
+                          ckpt_name="srv", log=False)
+
+    server = InferenceServer.from_checkpoint(str(tmp_path / "srv"),
+                                             buckets=(8,))
+    photo = tuple(np.asarray(a) for a in train_data[0])
+    spec = tuple(np.asarray(a) for a in train_data[1])
+    out = server.crossmodal(photo, spec, K=2, key=jax.random.PRNGKey(0))
+    assert out.shape == (2, 8, 32)
+    # served params must be the TRAINED ones, not a fresh init
+    direct = model.apply({"params": state.params}, photo, spec,
+                         direction=(0, 1), K=2, method="crossmodgen",
+                         rngs={"sample": jax.random.PRNGKey(0)})
+    # jitted bucket program vs eager apply: float-reassociation noise only
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
+                               rtol=1e-4, atol=1e-6)

@@ -32,11 +32,13 @@ if _os.environ.get("VAESNE_COMPILE_CACHE"):
 
 from . import distributions, objectives, training
 from .distributions import Laplace, Normal, kl_divergence, log_mean_exp
+from .serving import InferenceServer
 
 __all__ = [
     "distributions",
     "objectives",
     "training",
+    "InferenceServer",
     "Laplace",
     "Normal",
     "kl_divergence",

@@ -21,6 +21,7 @@ from .goldstein import (
     train_test_split,
 )
 from .images import ImagePathDataset, image_tuple
+from .validate import validate_npz
 from .synthetic import (
     LSST_BANDS,
     PHOTOMETRY_LENGTH,
@@ -49,6 +50,7 @@ __all__ = [
     "train_test_split",
     "ImagePathDataset",
     "image_tuple",
+    "validate_npz",
     "make_goldstein_like",
     "make_images",
     "make_ztf_like",
