@@ -54,6 +54,10 @@ def request(n, seed=0):
 def main():
     K = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     bucket = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    if bucket < 8:
+        # the timed request ladder below goes down to 7 events; a smaller
+        # bucket would make the 7-event request overflow the bucket ladder
+        sys.exit(f"bucket must be >= 8, got {bucket}")
     model = PhotoSpecMMVAE(
         vaes=[
             PhotometricVAE(num_bands=6, latent_len=4, latent_dim=4,
@@ -78,7 +82,7 @@ def main():
     ):
         # warmup (compile) on one size, then time OTHER sizes in the same
         # bucket — every timed call is pad + cached dispatch, zero compiles
-        photo, spec = request(bucket - 11, seed=1)
+        photo, spec = request(max(1, bucket - 11), seed=1)
         honest_sync(call(photo, spec, jax.random.PRNGKey(0)))
         compiles_before = server.compiles
         times = []

@@ -110,6 +110,13 @@ def validate_npz(data: Dict[str, np.ndarray], kind: str = "goldstein") -> List[s
         problems.append(f"phase: expected [N], got shape {data['phase'].shape}")
 
     band = data["photowavelength"]
+    if band.shape != data["photoflux"].shape:
+        # a truncated [N, L-k] or 1-D [L] band array passes the dtype checks
+        # below but breaks photometry_tuple/the band embedding downstream
+        problems.append(
+            f"photowavelength: shape {band.shape} != photoflux shape "
+            f"{data['photoflux'].shape} (band index per photometry point, "
+            "test_photospectra.py:46)")
     if not np.issubdtype(band.dtype, np.integer):
         if not np.array_equal(band, np.round(band)):
             problems.append(
@@ -137,7 +144,11 @@ def validate_npz(data: Dict[str, np.ndarray], kind: str = "goldstein") -> List[s
             v = np.asarray(data[k])
             if v.size != 1:
                 problems.append(f"{k}: expected a scalar, got shape {v.shape}")
-            elif k.endswith("_std") and float(v) <= 0:
+            elif not np.isfinite(float(v)):
+                # NaN passes a naive `<= 0` check (NaN <= 0 is False) and
+                # would NaN every denormalized output downstream
+                problems.append(f"{k}: non-finite value {float(v)}")
+            elif k.endswith("_std") and not (float(v) > 0):
                 problems.append(f"{k}: std must be positive, got {float(v)}")
     return problems
 
