@@ -154,3 +154,110 @@ def test_mse_objective(key):
     np.testing.assert_allclose(float(mse(m, v, x, y, deterministic=True)), 0.0,
                                atol=1e-6)
     assert float(mse(m, v, x, y + 1.0, deterministic=True)) == pytest.approx(-1.0)
+
+
+# -- m_elbo value-level oracle (VERDICT r3 #6) ---------------------------
+#
+# The reference body is unrunnable (float-literal typo ``.sum((-1. -2))``,
+# losses.py:41), so no golden oracle exists. Instead: a stub "model" whose
+# forward returns hand-specified Laplace posteriors/likelihoods/latents,
+# and an INDEPENDENT numpy recomputation of the intended estimator
+# (losses.py:27-44 with dims (-1,-2)) to compare against.
+
+
+class _StubMM:
+    """apply() returns fixed (qz_xs, px_zs, zss); no network involved.
+
+    Posterior locs and latents come from ``variables`` so gradient
+    structure w.r.t. them can be probed (the detached-z requirement)."""
+
+    def __init__(self, qz_scales, px_locs, scalings):
+        from vaesne_tpu.distributions import Laplace
+
+        self._Laplace = Laplace
+        self._qz_scales = qz_scales
+        self._px_locs = px_locs
+        self.llik_scalings = scalings
+
+    def apply(self, variables, x, K, deterministic, rngs=None):
+        L = self._Laplace
+        qz_xs = [L(loc, s) for loc, s in zip(variables["q_locs"],
+                                             self._qz_scales)]
+        M = len(qz_xs)
+        px_zs = [[L(self._px_locs[e][d], jnp.float32(1.0)) for d in range(M)]
+                 for e in range(M)]
+        zss = list(variables["zss"])
+        return qz_xs, px_zs, zss
+
+    def pz(self):
+        return self._Laplace(jnp.zeros((2, 1), jnp.float32),
+                             jnp.ones((2, 1), jnp.float32))
+
+
+def _np_laplace_lp(x, loc, scale):
+    return -np.abs(x - loc) / scale - np.log(2.0 * scale)
+
+
+def _np_kl_laplace(m1, b1, m2, b2):
+    d = np.abs(m1 - m2)
+    return np.log(b2 / b1) + d / b2 + (b1 / b2) * np.exp(-d / b1) - 1.0
+
+
+def _stub_case():
+    M, K, B, L, D = 2, 1, 2, 2, 1
+    N = (3, 4)  # per-modality grid lengths
+    rng = np.random.default_rng(7)
+    q_locs = rng.uniform(-0.5, 0.5, (M, B, L, D)).astype(np.float32)
+    qz_scales = rng.uniform(0.5, 1.5, (M, B, L, D)).astype(np.float32)
+    zss = rng.uniform(-1, 1, (M, K, B, L, D)).astype(np.float32)
+    px_locs = [[rng.normal(size=(K, B, N[d])).astype(np.float32)
+                for d in range(M)] for e in range(M)]
+    x = tuple((rng.normal(size=(B, N[d])).astype(np.float32),)
+              for d in range(M))
+    scalings = (0.7, 1.3)
+    model = _StubMM([jnp.asarray(s) for s in qz_scales],
+                    [[jnp.asarray(a) for a in row] for row in px_locs],
+                    scalings)
+    variables = {"q_locs": jnp.asarray(q_locs), "zss": jnp.asarray(zss)}
+    return (model, variables, x, scalings, q_locs, qz_scales, zss, px_locs,
+            (M, K, B))
+
+
+def test_m_elbo_matches_numpy_oracle(key):
+    (model, variables, x, scalings, q_locs, qz_scales, zss, px_locs,
+     (M, K, B)) = _stub_case()
+    val = m_elbo(model, variables, x, K=K, key=key, deterministic=True)
+
+    # independent numpy recomputation of losses.py:27-44 (intended dims)
+    lpx_terms = np.zeros((0, K, B))
+    klds = []
+    for r in range(M):
+        klds.append(_np_kl_laplace(q_locs[r], qz_scales[r], 0.0, 1.0)
+                    .sum((-1, -2)))  # [B]
+        for d in range(M):
+            lp = (_np_laplace_lp(x[d][0][None], px_locs[d][d], 1.0)
+                  .sum(-1) * scalings[d])  # [K, B]
+            if d == r:
+                w = np.ones((K, B))
+            else:
+                z = zss[d]
+                lwt = (_np_laplace_lp(z, q_locs[r][None], qz_scales[r][None])
+                       - _np_laplace_lp(z, q_locs[d][None],
+                                        qz_scales[d][None])).sum((-1, -2))
+                w = np.exp(lwt)
+            lpx_terms = np.concatenate([lpx_terms, (w * lp)[None]])
+    obj = (1.0 / M) * (lpx_terms.sum(0) - np.stack(klds).sum(0)[None])
+    expected = obj.mean(0).sum()
+    np.testing.assert_allclose(float(val), float(expected), rtol=1e-5)
+
+
+def test_m_elbo_detaches_cross_modal_latents(key):
+    """The importance weights use z.detach() (losses.py:40): the latents
+    must carry NO gradient, while the posterior locs must."""
+    model, variables, x, *_ = _stub_case()
+
+    g = jax.grad(
+        lambda v: m_elbo(model, v, x, K=1, key=key, deterministic=True)
+    )(variables)
+    np.testing.assert_array_equal(np.asarray(g["zss"]), 0.0)
+    assert float(jnp.abs(g["q_locs"]).max()) > 0
