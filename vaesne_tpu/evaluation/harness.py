@@ -227,13 +227,16 @@ def masking_sweep(
     K: int = 100,
     key: Optional[Array] = None,
     chunk_size: int = 32,
+    mesh=None,
 ) -> Dict[float, np.ndarray]:
     """Robustness to light-curve masking (gradual_masking.py:67-114): flip an
     extra ``missing`` fraction of *observed* LC points to masked, then
     cross-reconstruct spectra (LC→spec). Returns {portion: [K, B, N]}.
 
     Runs in fixed-shape chunks: K*B at K=100 over a whole test set in one
-    program exceeds single-chip HBM."""
+    program exceeds single-chip HBM. ``mesh`` shards each chunk's event axis
+    over the ``data`` mesh axis (one SPMD pass, like the reconstruction
+    suite — the sweep's chunks ride all chips instead of chip 0)."""
     if key is None:
         key = jax.random.PRNGKey(42)  # gradual_masking.py:83 uses seed 42
     photo, spec = test_batch
@@ -255,5 +258,6 @@ def masking_sweep(
         # folded in by batched_apply (independent CI noise per chunk)
         out[float(missing)] = np.asarray(batched_apply(
             recon, (masked_photo, spec), chunk_size, out_axes=1, key=k_rec,
+            mesh=mesh,
         ))
     return out

@@ -71,11 +71,25 @@ TUPLE_BUILDERS = {
 }
 
 
+def _mesh_model_axis(train_cfg) -> int:
+    """Model-axis size implied by the config's mesh SPEC (static — never
+    reads the device environment, so checkpoint opt_state structure stays
+    machine-independent: ``"4x2"`` → 2, everything else → 1)."""
+    spec = str(getattr(train_cfg, "mesh", "auto")).strip().lower()
+    if "x" in spec:
+        try:
+            return int(spec.split("x", 1)[1])
+        except ValueError:
+            pass
+    return 1
+
+
 def optimizer_from_config(train_cfg):
     """AdamW exactly as ``train_loop`` builds it for this config — eval
     drivers use the same function so their restore TEMPLATE's opt_state
     structure matches the checkpoint (clipping on/off changes the optax
-    chain structure)."""
+    chain structure; a tensor-parallel mesh spec forces the unflattened
+    moment layout that carries per-param partition specs)."""
     grad_clip = getattr(train_cfg, "grad_clip", 10.0)
     if getattr(train_cfg, "parity", False) or grad_clip <= 0:
         grad_clip = None
@@ -85,7 +99,18 @@ def optimizer_from_config(train_cfg):
         b1=getattr(train_cfg, "b1", 0.9),
         b2=getattr(train_cfg, "b2", 0.999),
         grad_clip=grad_clip,
+        flatten=(_mesh_model_axis(train_cfg) == 1),
     )
+
+
+def _model_num_heads(model):
+    """num_heads for TP head-locality checks; MMVAEs carry it per sub-VAE."""
+    if hasattr(model, "num_heads"):
+        return model.num_heads
+    vaes = getattr(model, "vaes", None)
+    if vaes:
+        return getattr(vaes[0], "num_heads", None)
+    return None
 
 
 def train_loop(
@@ -128,6 +153,15 @@ def train_loop(
     + one-shot augmentation. ``train_cfg.accum_steps > 1`` enables
     trainer-level gradient accumulation (``accum_reduction`` must match the
     objective's batch reduction — "sum" for m_iwae drivers).
+
+    Parallelism: ``train_cfg.mesh`` (default ``"auto"``) resolves through
+    ``parallel.resolve_mesh``; on a multi-chip host every driver trains
+    data-parallel with the state replicated, each scanned step's batch
+    sharded over the ``data`` axis, and XLA GSPMD inserting the gradient
+    all-reduce over ICI — same math as single-device (SURVEY §2.4, replacing
+    the reference's one-GPU training at test_photospectra.py:8). A ``"NxM"``
+    spec additionally Megatron-shards attention/FFN weights over the
+    ``model`` axis (``parallel.shard_state_tp``).
     """
     key = jax.random.PRNGKey(train_cfg.seed)
     k_init, key = jax.random.split(key)
@@ -151,6 +185,19 @@ def train_loop(
 
         opt = optax.masked(opt, opt_mask(params))
     state = TrainState.create(params, opt, key)
+    from ..parallel import MODEL_AXIS, resolve_mesh
+
+    mesh = resolve_mesh(getattr(train_cfg, "mesh", "auto"),
+                        batch_size=train_cfg.batch_size)
+    if mesh is not None:
+        from ..parallel import DATA_AXIS
+
+        n_data = mesh.shape[DATA_AXIS]
+        if train_cfg.batch_size % n_data != 0:
+            raise ValueError(
+                f"batch_size {train_cfg.batch_size} not divisible by the "
+                f"mesh data axis ({n_data}); every step's batch must shard "
+                "evenly (set train.batch_size or train.mesh accordingly)")
     accum_steps = getattr(train_cfg, "accum_steps", 1)
     accum_reduction = getattr(train_cfg, "accum_reduction", "mean")
     # scan_epoch (TrainConfig, default True): every step of an epoch runs
@@ -164,7 +211,7 @@ def train_loop(
         from ..training import make_scan_epoch
 
         epoch_fn = make_scan_epoch(model, opt, loss_fn, accum_steps,
-                                   accum_reduction)
+                                   accum_reduction, mesh=mesh)
     else:
         step_fn = make_train_step(model, opt, loss_fn, accum_steps,
                                   accum_reduction)
@@ -265,6 +312,19 @@ def train_loop(
         elif log:
             print(f"resume requested but no checkpoint at {ckpt_path}; "
                   "starting fresh")
+    if mesh is not None:
+        # placement AFTER any restore: params/opt replicated (or Megatron
+        # TP-sharded for an "NxM" spec), data replicated device-resident —
+        # each step's batch gets its data-axis sharding inside the compiled
+        # epoch (make_scan_epoch) or per batch below
+        from ..parallel import replicate_state, replicated, shard_state_tp
+
+        if mesh.shape[MODEL_AXIS] > 1:
+            state = shard_state_tp(state, opt, mesh,
+                                   num_heads=_model_num_heads(model))
+        else:
+            state = replicate_state(state, mesh)
+        train_data = jax.device_put(train_data, replicated(mesh))
     if augment_fn is not None:
         # ONE compiled program per epoch instead of an eager op-chain: the
         # tunneled TPU compile service charges ~60 s per uncached one-op
@@ -292,6 +352,10 @@ def train_loop(
             # dominates wall time for small models on remote-dispatch TPUs)
             step_losses = []
             for batch in epoch_batches(k_shuffle, epoch_data, train_cfg.batch_size):
+                if mesh is not None:
+                    from ..parallel import shard_batch
+
+                    batch = shard_batch(batch, mesh)
                 state, loss = step_fn(state, batch)
                 step_losses.append(loss)
             import jax.numpy as jnp

@@ -62,7 +62,7 @@ def _config_for(ckpt, default_cls):
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     mm_ckpt = spec_ckpt = None
-    K, out_dir = 100, "./res"
+    K, out_dir, mesh_spec = 100, "./res", "auto"
     rest = []
     for a in argv:
         if a.startswith("mm_ckpt="):
@@ -73,9 +73,16 @@ def main(argv=None):
             K = int(a.split("=", 1)[1])
         elif a.startswith("out="):
             out_dir = a.split("=", 1)[1]
+        elif a.startswith("mesh="):
+            mesh_spec = a.split("=", 1)[1]
         else:
             rest.append(a)
     data_path, rest = parse_cli(rest)
+    # data-parallel eval over all chips by default (the reference needed a
+    # 400-job SLURM array for this, spect_cond_LC.sh); mesh=none forces chip 0
+    from ..parallel import resolve_mesh
+
+    mesh = resolve_mesh(mesh_spec, batch_size=64)  # harness chunk_size
 
     data = resolve_dataset(data_path, "goldstein")
     te_idx = np.asarray(data["testing_idx"])
@@ -111,13 +118,13 @@ def main(argv=None):
 
     recs = mmvae_reconstruction_suite(
         mm_model, mm_vars, test_batch, K=K, key=key,
-        spec_only=spec_only, norm=norm,
+        spec_only=spec_only, norm=norm, mesh=mesh,
     )
     # reuse the (denormalized) reconstructions — one inference pass total,
     # and metric units consistently physical
     metrics = evaluate_mmvae(
         mm_model, mm_vars, test_batch, phase_phys, gt_spectra,
-        K=K, key=key, spec_only=spec_only, recs=recs,
+        K=K, key=key, spec_only=spec_only, recs=recs, mesh=mesh,
     )
 
     os.makedirs(out_dir, exist_ok=True)

@@ -27,7 +27,7 @@ from .train_photospectra import build_model as build_mmvae
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    mm_ckpt, K, out_dir = None, 100, "./res"
+    mm_ckpt, K, out_dir, mesh_spec = None, 100, "./res", "auto"
     rest = []
     for a in argv:
         if a.startswith("mm_ckpt="):
@@ -36,9 +36,14 @@ def main(argv=None):
             K = int(a.split("=", 1)[1])
         elif a.startswith("out="):
             out_dir = a.split("=", 1)[1]
+        elif a.startswith("mesh="):
+            mesh_spec = a.split("=", 1)[1]
         else:
             rest.append(a)
     data_path, rest = parse_cli(rest)
+    from ..parallel import resolve_mesh
+
+    mesh = resolve_mesh(mesh_spec, batch_size=32)  # sweep chunk_size
 
     data = resolve_dataset(data_path, "goldstein")
     te_idx = np.asarray(data["testing_idx"])
@@ -55,7 +60,7 @@ def main(argv=None):
     mm_vars = _restore(mm_ckpt, mm_model, example, key, K=1,
                        train_cfg=mm_cfg.train)
 
-    sweep = masking_sweep(mm_model, mm_vars, test_batch, K=K)
+    sweep = masking_sweep(mm_model, mm_vars, test_batch, K=K, mesh=mesh)
 
     gt = (
         np.asarray(data["flux"])[te_idx] * float(data["flux_std"])

@@ -29,6 +29,7 @@ from .train_regression import build_head
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     modality, backbone, head_ckpt, out_dir = "photometry", "mmvae", None, "./res"
+    mesh_spec = "auto"
     rest = []
     for a in argv:
         if a.startswith("modality="):
@@ -39,6 +40,8 @@ def main(argv=None):
             head_ckpt = a.split("=", 1)[1]
         elif a.startswith("out="):
             out_dir = a.split("=", 1)[1]
+        elif a.startswith("mesh="):
+            mesh_spec = a.split("=", 1)[1]
         else:
             rest.append(a)
     data_path, rest = parse_cli(rest)
@@ -106,7 +109,15 @@ def main(argv=None):
         # smoke mode: freshly initialized head over the fresh backbone
         variables = {"params": {**params, **(frozen or {})}}
 
-    pred = jax.jit(lambda x: head.apply(variables, x, True))(x_test)
+    # fixed-shape chunks sharded over the data mesh (all chips; the
+    # reference's equivalent ran per-head CPU jobs, eval_paramregression.py)
+    from ..evaluation.harness import batched_apply
+    from ..parallel import resolve_mesh
+
+    mesh = resolve_mesh(mesh_spec, batch_size=256)  # chunk_size below
+    pred_fn = jax.jit(lambda x: head.apply(variables, x, True))
+    pred = batched_apply(pred_fn, x_test, chunk_size=256, out_axes=0,
+                         mesh=mesh)
     absdiff = np.abs(np.asarray(pred) - te_labels)  # already in sigma units
 
     os.makedirs(out_dir, exist_ok=True)

@@ -7,6 +7,7 @@ from .mesh import (
     make_mesh,
     replicate_state,
     replicated,
+    resolve_mesh,
     shard_batch,
     shard_data_parallel,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "make_mesh",
     "replicate_state",
     "replicated",
+    "resolve_mesh",
     "shard_batch",
     "shard_data_parallel",
     "shard_params_tp",

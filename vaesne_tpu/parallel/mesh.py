@@ -43,6 +43,50 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def resolve_mesh(spec: str = "auto", batch_size: Optional[int] = None) -> Optional[Mesh]:
+    """Turn a config-level mesh spec into a Mesh (or None = single device).
+
+    The production drivers pass ``train_cfg.mesh`` here so every CLI trains
+    and evaluates data-parallel on multi-chip hosts by default (SURVEY §2.4:
+    batch-sharded DP over ICI is *the* parallelism replacing the reference's
+    single-device story, test_photospectra.py:8):
+
+      * ``"auto"`` — all visible devices on the data axis; None when only
+        one device exists (the single-chip fast path, no placement
+        overhead). With ``batch_size``, the data axis is
+        ``gcd(batch_size, device_count)`` so a batch that cannot shard
+        evenly degrades to fewer chips instead of erroring — explicit
+        specs below stay strict.
+      * ``"none"`` / ``"off"`` / ``"1"`` — force single-device
+      * ``"4"``    — 4-device data-parallel mesh (first 4 devices)
+      * ``"4x2"``  — (data=4, model=2): DP × Megatron TP; pair with
+        ``shard_state_tp`` and an unflattened optimizer
+    """
+    s = str(spec).strip().lower()
+    if s in ("none", "off", "1", ""):
+        return None
+    if s == "auto":
+        n = jax.device_count()
+        if batch_size is not None:
+            import math
+
+            n = math.gcd(int(batch_size), n)
+        if n <= 1:
+            return None
+        return make_mesh(devices=jax.devices()[:n], data=n)
+    if "x" in s:
+        data, model = (int(v) for v in s.split("x", 1))
+    else:
+        data, model = int(s), 1
+    n = data * model
+    avail = jax.devices()
+    if n > len(avail):
+        raise ValueError(
+            f"mesh spec {spec!r} needs {n} devices, only {len(avail)} "
+            "visible")
+    return make_mesh(devices=avail[:n], data=data, model=model)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard leading (batch) axis over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS))

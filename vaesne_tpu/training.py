@@ -263,7 +263,7 @@ def train_epoch(
 
 def make_scan_epoch(model, optimizer: optax.GradientTransformation,
                     loss_fn: LossFn, accum_steps: int = 1,
-                    accum_reduction: str = "mean"):
+                    accum_reduction: str = "mean", mesh=None):
     """Build a whole-epoch train function: shuffle + every step under ONE
     ``lax.scan`` in ONE compiled program.
 
@@ -281,7 +281,22 @@ def make_scan_epoch(model, optimizer: optax.GradientTransformation,
     ``accum_steps``/``accum_reduction`` as in ``make_train_step``: each step
     of the scanned epoch processes its batch as that many gradient-
     accumulation microbatches with one optimizer update.
+
+    ``mesh``: a ``parallel.make_mesh`` result. Every scanned step's batch is
+    sharding-constrained over the ``data`` axis, so the whole epoch runs
+    data-parallel under GSPMD (gradient all-reduce over ICI) while the math
+    — permutation, RNG chain, update order — is identical to the
+    single-device program. The replicated-state / sharded-data placement is
+    the caller's job (``train_loop`` / ``parallel.shard_data_parallel``).
     """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from .parallel import DATA_AXIS
+
+        # [steps, batch, ...]: steps stays unsharded (scan axis), the
+        # per-step batch axis shards over data
+        batch_sharding = NamedSharding(mesh, PartitionSpec(None, DATA_AXIS))
 
     def neg_loss(params, batch, key):
         return -loss_fn(model, {"params": params}, batch, key)
@@ -311,6 +326,11 @@ def make_scan_epoch(model, optimizer: optax.GradientTransformation,
         stacked = jax.tree_util.tree_map(
             lambda a: a[perm].reshape((steps, batch_size) + a.shape[1:]), data
         )
+        if mesh is not None:
+            stacked = jax.lax.with_sharding_constraint(
+                stacked,
+                jax.tree_util.tree_map(lambda _: batch_sharding, stacked),
+            )
         state, losses = jax.lax.scan(body, state, stacked)
         return state, losses.mean()
 
@@ -321,6 +341,7 @@ def make_scan_epoch(model, optimizer: optax.GradientTransformation,
         state, mean_loss = epoch_fn(state, data, shuffle_key, batch_size)
         return state, float(mean_loss)
 
+    run.epoch_fn = epoch_fn  # the jitted whole-epoch program (lowerable)
     return run
 
 

@@ -27,6 +27,11 @@ class ModelConfig:
     dropout: float = 0.1
     selfattn: bool = False
     concat: bool = True
+    # Bright* variants: decoder-mean recentering to a brightness head
+    # (reference SpectraVAE.py:211 / PhotometricVAE.py:226, imported by the
+    # flagship + ZTF scripts). Applies to every driver whose model has a
+    # Bright form (spectra/photometry/MMVAE/ZTF).
+    bright: bool = False
 
 
 @dataclass(frozen=True)
@@ -41,6 +46,10 @@ class TrainConfig:
     # run each epoch's steps under one lax.scan (one dispatch/epoch);
     # False falls back to the per-batch Python loop
     scan_epoch: bool = True
+    # device mesh for this run (parallel.resolve_mesh): "auto" = all chips
+    # data-parallel (single-device when only one chip), "none" = force one
+    # device, "4" = 4-chip DP, "4x2" = DP x Megatron-TP
+    mesh: str = "auto"
     ckpt_dir: str = "./ckpt"
     log_dir: str = "./logs"
     # --- optimizer (torch AdamW defaults; reference e.g. test_photospectra
