@@ -174,3 +174,143 @@ def test_from_checkpoint_roundtrip(tmp_path):
     # jitted bucket program vs eager apply: float-reassociation noise only
     np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
                                rtol=1e-4, atol=1e-6)
+
+
+def _tiny_overrides(tmp_path, extra=()):
+    return [
+        "model.latent_len=2", "model.latent_dim=2", "model.model_dim=16",
+        "model.ff_dim=16", "model.num_layers=1", "model.num_heads=2",
+        "train.epochs=1", "train.batch_size=4", "train.K=1",
+        "train.save_every=1", f"train.ckpt_dir={tmp_path}",
+        f"train.log_dir={tmp_path / 'logs'}", *extra,
+    ]
+
+
+def test_from_checkpoint_dispatches_ztf_config(tmp_path):
+    """VERDICT r3 #7: from_checkpoint must dispatch on the saved
+    _config_class — a ZTF MMVAE checkpoint (2 bands) restores and serves,
+    not just the flagship."""
+    from vaesne_tpu import objectives
+    from vaesne_tpu.data import make_ztf_like, multimodal_tuple
+    from vaesne_tpu.experiments.common import train_loop
+    from vaesne_tpu.experiments.train_ztf_photospect import build_model
+    from vaesne_tpu.utils.config import ZTFMMVAEConfig, parse_overrides
+
+    cfg = parse_overrides(ZTFMMVAEConfig(), _tiny_overrides(tmp_path))
+    data = make_ztf_like(n=8, seed=0, spectrum_bins=32, photometry_length=8)
+    train_data = multimodal_tuple(data)
+    model = build_model(cfg)
+
+    def loss_fn(m, variables, batch, key):
+        return objectives.m_iwae(m, variables, batch, K=1, key=key,
+                                 deterministic=False)
+
+    state, _ = train_loop(model, train_data, loss_fn, cfg.train, config=cfg,
+                          ckpt_name="ztfsrv", log=False)
+
+    server = InferenceServer.from_checkpoint(str(tmp_path / "ztfsrv"),
+                                             buckets=(8,))
+    # 2-band embedding: band index 5 would be out of range if the flagship
+    # (6-band) architecture had been silently rebuilt
+    assert server._model.vaes[0].num_bands == 2
+    photo = tuple(np.asarray(a) for a in train_data[0])
+    spec = tuple(np.asarray(a) for a in train_data[1])
+    out = server.crossmodal(photo, spec, K=2, key=jax.random.PRNGKey(0))
+    assert out.shape == (2, 8, 32)
+    direct = server._model.apply(
+        {"params": state.params}, photo, spec, direction=(0, 1), K=2,
+        method="crossmodgen", rngs={"sample": jax.random.PRNGKey(0)})
+    np.testing.assert_allclose(np.asarray(out), np.asarray(direct),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_from_checkpoint_unimodal_embeds_crossmodal_raises(tmp_path):
+    """A unimodal spectra checkpoint serves embeddings; the cross-modal
+    tasks fail loudly instead of AttributeError-ing."""
+    from vaesne_tpu import objectives
+    from vaesne_tpu.data import make_goldstein_like, spectra_tuple
+    from vaesne_tpu.experiments.common import train_loop
+    from vaesne_tpu.experiments.train_spectra import build_model
+    from vaesne_tpu.utils.config import SpectraVAEConfig, parse_overrides
+
+    cfg = parse_overrides(SpectraVAEConfig(), _tiny_overrides(tmp_path))
+    data = make_goldstein_like(n=8, seed=0, spectrum_bins=32,
+                               photometry_length=8)
+    train_data = spectra_tuple(data)
+    model = build_model(cfg)
+
+    def loss_fn(m, variables, batch, key):
+        return objectives.elbo(m, variables, batch, K=1, key=key,
+                               deterministic=False)
+
+    train_loop(model, train_data, loss_fn, cfg.train, config=cfg,
+               ckpt_name="specsrv", log=False)
+
+    server = InferenceServer.from_checkpoint(str(tmp_path / "specsrv"),
+                                             buckets=(8,))
+    spec = tuple(np.asarray(a) for a in train_data)
+    z = server.embed(spec)
+    assert z.shape == (8, 2, 2)
+    with pytest.raises(ValueError, match="multimodal"):
+        server.crossmodal(spec, spec)
+    with pytest.raises(ValueError, match="multimodal"):
+        server.reconstruct((spec,))
+
+
+def test_server_mesh_matches_single_device(server):
+    """A mesh-backed server (event axis sharded over 8 virtual chips) must
+    produce the same outputs as the single-device server."""
+    from vaesne_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    srv_mesh = InferenceServer(server._model,
+                               jax.device_get(server._variables),
+                               buckets=(8, 16), seed=0, mesh=mesh)
+    photo, spec = _batch(5, seed=3)
+    k = jax.random.PRNGKey(9)
+    a = server.crossmodal(photo, spec, K=2, key=k)
+    b = srv_mesh.crossmodal(photo, spec, K=2, key=k)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
+    za = server.embed(photo, modality=0)
+    zb = srv_mesh.embed(photo, modality=0)
+    np.testing.assert_allclose(np.asarray(za), np.asarray(zb),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_server_mesh_rejects_indivisible_buckets():
+    from vaesne_tpu.parallel import make_mesh
+
+    model = PhotoSpecMMVAE(
+        vaes=[PhotometricVAE(num_bands=6, latent_len=2, latent_dim=2,
+                             model_dim=16, ff_dim=16, num_layers=1,
+                             num_heads=2),
+              SpectraVAE(latent_len=2, latent_dim=2, model_dim=16,
+                         ff_dim=16, num_layers=1, num_heads=2)],
+        beta=1.0)
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "sample": key}, _batch(2), 1)
+    with pytest.raises(ValueError, match="not divisible"):
+        InferenceServer(model, variables, buckets=(4, 6), mesh=make_mesh())
+
+
+def test_server_thread_safety_key_chain(server):
+    """Concurrent sampling must never reuse a PRNG key (the _next_key
+    read-split-write is lock-guarded)."""
+    import threading
+
+    keys = []
+    lock = threading.Lock()
+
+    def draw():
+        for _ in range(50):
+            k = server._next_key(None)
+            with lock:
+                keys.append(tuple(np.asarray(k).tolist()))
+
+    ts = [threading.Thread(target=draw) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(keys) == len(set(keys)), "duplicate PRNG keys handed out"

@@ -28,6 +28,7 @@ harness for the same computation.
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -37,6 +38,18 @@ import numpy as np
 Array = jax.Array
 
 DEFAULT_BUCKETS = (8, 32, 128, 512)
+
+# checkpoint ``_config_class`` tag → (driver module with build_model,
+# synthetic-data kind, modality-tuple builder name). Every restorable
+# training config is servable; the per-task methods check model capability
+# (crossmodal/reconstruct need an MMVAE, embed/encode work for any VAE).
+_RESTORE_DISPATCH = {
+    "PhotoSpectraMMVAEConfig": ("train_photospectra", "goldstein", "multimodal_tuple"),
+    "ZTFMMVAEConfig": ("train_ztf_photospect", "ztf", "multimodal_tuple"),
+    "SpectraVAEConfig": ("train_spectra", "goldstein", "spectra_tuple"),
+    "ZTFSpectraConfig": ("train_ztf_spectra", "ztf", "spectra_tuple"),
+    "PhotometryVAEConfig": ("train_photometry", "goldstein", "photometry_tuple"),
+}
 
 
 def _pad_to(batch, size: int):
@@ -62,34 +75,71 @@ class InferenceServer:
     """
 
     def __init__(self, model, variables, *,
-                 buckets: Sequence[int] = DEFAULT_BUCKETS, seed: int = 0):
+                 buckets: Sequence[int] = DEFAULT_BUCKETS, seed: int = 0,
+                 mesh=None):
         if not buckets or sorted(buckets) != list(buckets):
             raise ValueError(f"buckets must be ascending, got {buckets}")
         self._model = model
-        self._variables = variables
         self._buckets = tuple(int(b) for b in buckets)
+        self._mesh = mesh
+        if mesh is not None:
+            from .parallel import DATA_AXIS, replicated
+
+            n_data = mesh.shape[DATA_AXIS]
+            bad = [b for b in self._buckets if b % n_data]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} not divisible by the mesh data axis "
+                    f"({n_data}); every padded request must shard evenly "
+                    "over the event axis")
+            # params live replicated on the mesh so each bucket program
+            # runs SPMD with only the per-device event shard resident
+            variables = jax.device_put(variables, replicated(mesh))
+        self._variables = variables
         self._programs: Dict[tuple, callable] = {}
         self._key = jax.random.PRNGKey(seed)
+        # online serving is multi-threaded: _next_key is a read-split-write
+        # on shared state and _program a check-then-compile — both must be
+        # atomic or two requests can sample with the identical key /
+        # double-compile the same bucket program
+        self._lock = threading.Lock()
         self.hits = 0
         self.compiles = 0
 
     @classmethod
     def from_checkpoint(cls, path: str, **kwargs) -> "InferenceServer":
-        """Serve a flagship MMVAE checkpoint directory: rebuild the EXACT
-        trained architecture from its ``config.json`` (written by
-        ``train_loop``) and restore the params."""
-        from .data import make_goldstein_like, multimodal_tuple
-        from .experiments.common import optimizer_from_config
-        from .experiments.train_photospectra import build_model
-        from .training import TrainState, init_model
-        from .utils.checkpoint import restore_checkpoint, restore_config
-        from .utils.config import PhotoSpectraMMVAEConfig
+        """Serve any trainable checkpoint directory: dispatch on the saved
+        ``_config_class`` tag in ``config.json`` (written by ``train_loop``)
+        to rebuild the EXACT trained architecture, then restore the params.
 
-        cfg = restore_config(path, PhotoSpectraMMVAEConfig)
+        Flagship + ZTF MMVAEs serve every task; unimodal spectra/photometry
+        checkpoints serve ``embed``-style encoding (cross-modal tasks need
+        an MMVAE and raise with a clear message)."""
+        import importlib
+
+        from . import data as data_mod
+        from .data import make_goldstein_like, make_ztf_like
+        from .experiments.common import optimizer_from_config
+        from .training import TrainState, init_model
+        from .utils.checkpoint import load_config, restore_checkpoint, restore_config
+        from .utils.config import CONFIG_CLASSES
+
+        raw = load_config(path)
+        name = (raw or {}).get("_config_class", "PhotoSpectraMMVAEConfig")
+        if name not in _RESTORE_DISPATCH:
+            raise ValueError(
+                f"checkpoint at {path} was trained as {name}, which has no "
+                f"serving dispatch entry; servable: "
+                f"{sorted(_RESTORE_DISPATCH)}")
+        driver, kind, tuple_builder = _RESTORE_DISPATCH[name]
+        cfg = restore_config(path, CONFIG_CLASSES[name])
         if cfg is None:
-            cfg = PhotoSpectraMMVAEConfig()
+            cfg = CONFIG_CLASSES[name]()
+        build_model = importlib.import_module(
+            f".experiments.{driver}", __package__).build_model
         model = build_model(cfg)
-        example = multimodal_tuple(make_goldstein_like(n=2, seed=0))
+        maker = make_ztf_like if kind == "ztf" else make_goldstein_like
+        example = getattr(data_mod, tuple_builder)(maker(n=2, seed=0))
         key = jax.random.PRNGKey(0)
         params = init_model(model, example, key, K=1)
         template = TrainState.create(
@@ -111,20 +161,40 @@ class InferenceServer:
     def _program(self, name: str, static: tuple, build):
         """One compiled program per (task, static-config, bucket)."""
         key = (name,) + static
-        fn = self._programs.get(key)
-        if fn is None:
-            fn = jax.jit(build())
-            self._programs[key] = fn
-            self.compiles += 1
-        else:
-            self.hits += 1
+        with self._lock:
+            fn = self._programs.get(key)
+            if fn is None:
+                fn = jax.jit(build())
+                self._programs[key] = fn
+                self.compiles += 1
+            else:
+                self.hits += 1
         return fn
 
     def _next_key(self, key: Optional[Array]) -> Array:
         if key is not None:
             return key
-        self._key, sub = jax.random.split(self._key)
+        with self._lock:
+            self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _place(self, batch, bucket: int):
+        """Pad to the bucket and (on a mesh) shard the event axis over
+        ``data`` so the bucket program runs SPMD across chips."""
+        padded = _pad_to(batch, bucket)
+        if self._mesh is not None:
+            from .parallel import shard_batch
+
+            padded = shard_batch(padded, self._mesh)
+        return padded
+
+    def _require_mmvae(self, task: str):
+        if not hasattr(self._model, "vaes"):
+            raise ValueError(
+                f"{task} needs a multimodal (MMVAE) model; this server "
+                f"holds a unimodal {type(self._model).__name__} — use "
+                "embed()/reconstruct-style unimodal calls or serve an "
+                "MMVAE checkpoint")
 
     # -- tasks -------------------------------------------------------------
 
@@ -132,6 +202,7 @@ class InferenceServer:
                    K: int = 1, key: Optional[Array] = None) -> Array:
         """Cross-modal generation (e.g. LC → spectrum): ``[K, B, grid]`` of
         decoded means on ``x_out``'s grids (mmVAE.py:128 intent)."""
+        self._require_mmvae("crossmodal")
         n = jax.tree_util.tree_leaves(x_in)[0].shape[0]
         k = self._next_key(key)
 
@@ -144,8 +215,8 @@ class InferenceServer:
 
         bucket = self._bucket_for(n)
         fn = self._program("crossmodal", (direction, K, bucket), build)
-        out = fn(self._variables, _pad_to(x_in, bucket),
-                 _pad_to(x_out, bucket), k)
+        out = fn(self._variables, self._place(x_in, bucket),
+                 self._place(x_out, bucket), k)
         return out[:, :n]
 
     def crossmodal_ci(self, x_in, x_out, direction: Tuple[int, int] = (0, 1),
@@ -154,6 +225,7 @@ class InferenceServer:
         """(mean, lo, hi): posterior-predictive mean and the (1−alpha) CI
         band over K posterior samples — the reference's eval-harness summary
         (evaluation.py:4-13, alpha_level=0.1) as one on-device program."""
+        self._require_mmvae("crossmodal_ci")
         n = jax.tree_util.tree_leaves(x_in)[0].shape[0]
         k = self._next_key(key)
 
@@ -170,8 +242,8 @@ class InferenceServer:
         bucket = self._bucket_for(n)
         fn = self._program("crossmodal_ci", (direction, K, alpha, bucket),
                            build)
-        mean, lo, hi = fn(self._variables, _pad_to(x_in, bucket),
-                          _pad_to(x_out, bucket), k)
+        mean, lo, hi = fn(self._variables, self._place(x_in, bucket),
+                          self._place(x_out, bucket), k)
         return mean[:n], lo[:n], hi[:n]
 
     def embed(self, x, modality: int = 0) -> Array:
@@ -179,21 +251,26 @@ class InferenceServer:
         for one modality — the representation the regression heads consume
         (regression.py:17-26)."""
         n = jax.tree_util.tree_leaves(x)[0].shape[0]
+        multimodal = hasattr(self._model, "vaes")
 
         def build():
             def run(variables, x):
                 # encode(mean=True) returns the posterior mean directly
-                return self._model.vaes[modality].apply(
-                    {"params": variables["params"][f"vaes_{modality}"]},
-                    x, method="encode")
+                if multimodal:
+                    return self._model.vaes[modality].apply(
+                        {"params": variables["params"][f"vaes_{modality}"]},
+                        x, method="encode")
+                # unimodal checkpoint: the model IS the encoder's VAE
+                return self._model.apply(variables, x, method="encode")
             return run
 
         bucket = self._bucket_for(n)
         fn = self._program("embed", (modality, bucket), build)
-        return fn(self._variables, _pad_to(x, bucket))[:n]
+        return fn(self._variables, self._place(x, bucket))[:n]
 
     def reconstruct(self, x, K: int = 1, key: Optional[Array] = None):
         """M×M matrix of posterior-mean reconstructions (mmVAE.py:120-126)."""
+        self._require_mmvae("reconstruct")
         n = jax.tree_util.tree_leaves(x[0])[0].shape[0]
         k = self._next_key(key)
 
@@ -206,7 +283,7 @@ class InferenceServer:
 
         bucket = self._bucket_for(n)
         fn = self._program("reconstruct", (K, bucket), build)
-        padded = tuple(_pad_to(m, bucket) for m in x)
+        padded = tuple(self._place(m, bucket) for m in x)
         out = fn(self._variables, padded, k)
         # each entry is [K, B, ...] decoded means; drop the pad rows on B
         return [[np.asarray(col[:, :n]) for col in row] for row in out]
