@@ -418,3 +418,100 @@ def test_bench_watchdog_fp32_fallback(tmp_path, capsys, monkeypatch):
     assert lines[1]["fp32_cached_from"] == "2026-08-19 19:13"
     assert lines[1]["mfu_pct"] > 0  # bf16 headline still gets MFU
     assert calls == [{}, {"VAESNE_BF16": "0"}]
+
+
+def test_bright_variants_end_to_end(tmp_path):
+    """`model.bright=true` (VERDICT r3 #4): the spectra driver must train a
+    BrightSpectraVAE through the CLI, persist the flag in config.json, and
+    the eval-side restore must rebuild the Bright architecture (reference
+    imports: ZTF_spectonly.py:12, test_photospectra.py:12-13)."""
+    from vaesne_tpu.data import make_goldstein_like
+    from vaesne_tpu.experiments.eval_goldstein import _config_for
+    from vaesne_tpu.experiments.train_spectra import build_model, main
+    from vaesne_tpu.models import BrightSpectraVAE
+    from vaesne_tpu.utils.config import SpectraVAEConfig
+
+    data = make_goldstein_like(n=16, seed=0, spectrum_bins=48,
+                               photometry_length=16)
+    npz = os.path.join(tmp_path, "g.npz")
+    np.savez(npz, **data)
+
+    state, losses = main([
+        f"data={npz}", "model.bright=true",
+        "model.latent_len=2", "model.num_layers=1", "model.model_dim=16",
+        "model.num_heads=2", "model.ff_dim=16",
+        "train.epochs=1", "train.batch_size=8", "train.save_every=1",
+        f"train.ckpt_dir={tmp_path}", f"train.log_dir={tmp_path}",
+    ])
+    assert losses and np.isfinite(losses[-1])
+    # the brightness head exists in the trained params
+    assert "brightnessfc" in state.params
+
+    ckpts = [d for d in os.listdir(tmp_path)
+             if os.path.isdir(os.path.join(tmp_path, d)) and "spec" in d]
+    assert ckpts, f"no checkpoint dir in {os.listdir(tmp_path)}"
+    cfg = _config_for(os.path.join(tmp_path, ckpts[0]), SpectraVAEConfig)
+    assert cfg.model.bright is True
+    assert isinstance(build_model(cfg), BrightSpectraVAE)
+
+
+def test_bright_photometry_driver_smoke(tmp_path):
+    from vaesne_tpu.data import make_goldstein_like
+    from vaesne_tpu.experiments.train_photometry import build_model, main
+    from vaesne_tpu.models import BrightPhotometricVAE
+    from vaesne_tpu.utils.config import PhotometryVAEConfig, parse_overrides
+
+    cfg = parse_overrides(PhotometryVAEConfig(), ["model.bright=true"])
+    assert isinstance(build_model(cfg), BrightPhotometricVAE)
+
+    data = make_goldstein_like(n=16, seed=0, spectrum_bins=48,
+                               photometry_length=16)
+    npz = os.path.join(tmp_path, "g.npz")
+    np.savez(npz, **data)
+    state, losses = main([
+        f"data={npz}", "model.bright=true",
+        "model.latent_len=2", "model.num_layers=1", "model.model_dim=16",
+        "model.num_heads=2", "model.ff_dim=16",
+        "train.epochs=1", "train.batch_size=8", "train.save_every=1",
+        f"train.ckpt_dir={tmp_path}", f"train.log_dir={tmp_path}",
+    ])
+    assert losses and np.isfinite(losses[-1])
+
+
+def test_real_mnist_smoke_when_available(tmp_path):
+    """Runs the reference's one end-to-end sanity config (mnist.py:13-45) on
+    the REAL digits whenever torchvision + a local MNIST copy exist;
+    cleanly skipped otherwise (no network egress in CI). VERDICT r3 #10."""
+    pytest.importorskip("torchvision")
+    from vaesne_tpu.experiments.train_image import load_mnist_like, main
+
+    try:
+        load_mnist_like(n=1, require_real=True)
+    except Exception:
+        pytest.skip("no local MNIST copy under ./data_mnist")
+
+    os.environ["VAESNE_REQUIRE_REAL_MNIST"] = "1"
+    try:
+        state, losses = main([
+            "dataset=mnist",
+            "model.latent_len=2", "model.num_layers=1", "model.model_dim=16",
+            "model.num_heads=2", "model.ff_dim=16",
+            "train.epochs=1", "train.batch_size=8", "train.save_every=1",
+            f"train.ckpt_dir={tmp_path}", f"train.log_dir={tmp_path}",
+        ])
+    finally:
+        os.environ.pop("VAESNE_REQUIRE_REAL_MNIST", None)
+    assert losses and np.isfinite(losses[-1])
+
+
+def test_mnist_require_real_raises_without_data(tmp_path):
+    """The silent synthetic fallback must turn into a hard error under
+    require_real (otherwise 'ran on MNIST' could silently mean arcs)."""
+    from vaesne_tpu.experiments.train_image import load_mnist_like
+
+    with pytest.raises(Exception):
+        load_mnist_like(n=1, require_real=True,
+                        root=str(tmp_path / "definitely_missing"))
+    # and the fallback still works when not required
+    imgs = load_mnist_like(n=2, root=str(tmp_path / "definitely_missing"))
+    assert imgs.shape == (2, 1, 60, 60)

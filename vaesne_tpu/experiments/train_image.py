@@ -16,6 +16,7 @@ Usage: python -m vaesne_tpu.experiments.train_image [dataset=mnist] [k=v ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
@@ -29,20 +30,31 @@ from ..utils.config import ImageVAEConfig, parse_overrides
 from .common import parse_cli, train_loop
 
 
-def load_mnist_like(n: int = 512, img_size: int = 60, seed: int = 0):
+def load_mnist_like(n: int = 512, img_size: int = 60, seed: int = 0,
+                    require_real: bool = False, root: str = "./data_mnist"):
     """MNIST via torchvision if a local copy exists (no network egress here);
     otherwise synthetic digit-ish blobs with the same shape contract
-    [N, 1, 60, 60] in [-1, 1]."""
+    [N, 1, 60, 60] in [-1, 1].
+
+    ``require_real=True`` (or env ``VAESNE_REQUIRE_REAL_MNIST=1``) turns the
+    silent synthetic fallback into a hard error — so the reference's one
+    end-to-end sanity config (mnist.py:13-45) provably runs on the ACTUAL
+    digits whenever a local copy + torchvision exist (it is CI-skip-guarded
+    in tests/test_drivers.py and documented in README "Data")."""
+    require_real = require_real or os.environ.get(
+        "VAESNE_REQUIRE_REAL_MNIST") == "1"
     try:
         from torchvision import datasets, transforms  # noqa: PLC0415
 
         tfm = transforms.Compose(
             [transforms.Resize((img_size, img_size)), transforms.ToTensor()]
         )
-        ds = datasets.MNIST("./data_mnist", train=True, download=False, transform=tfm)
+        ds = datasets.MNIST(root, train=True, download=False, transform=tfm)
         imgs = np.stack([np.asarray(ds[i][0]) for i in range(min(n, len(ds)))])
         return (imgs * 2.0 - 1.0).astype(np.float32)
     except Exception:
+        if require_real:
+            raise
         rng = np.random.default_rng(seed)
         yy, xx = np.mgrid[0:img_size, 0:img_size]
         imgs = np.zeros((n, 1, img_size, img_size), np.float32)

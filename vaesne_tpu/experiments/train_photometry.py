@@ -22,7 +22,11 @@ from .common import parse_cli, resolve_dataset, split_tuples, train_loop
 
 def build_model(cfg: PhotometryVAEConfig) -> PhotometricVAE:
     m = cfg.model
-    return PhotometricVAE(
+    cls = PhotometricVAE
+    if m.bright:
+        # model.bright=true → BrightPhotometricVAE (PhotometricVAE.py:226)
+        from ..models import BrightPhotometricVAE as cls
+    return cls(
         num_bands=cfg.num_bands,
         latent_len=m.latent_len,
         latent_dim=m.latent_dim,

@@ -19,7 +19,11 @@ from .common import parse_cli, resolve_dataset, split_tuples, train_loop
 
 def build_model(cfg: SpectraVAEConfig) -> SpectraVAE:
     m = cfg.model
-    return SpectraVAE(
+    cls = SpectraVAE
+    if m.bright:
+        # model.bright=true → BrightSpectraVAE (SpectraVAE.py:211)
+        from ..models import BrightSpectraVAE as cls
+    return cls(
         latent_len=m.latent_len,
         latent_dim=m.latent_dim,
         model_dim=m.model_dim,

@@ -26,10 +26,15 @@ def build_model(cfg: ZTFMMVAEConfig) -> PhotoSpecMMVAE:
         num_heads=m.num_heads, ff_dim=m.ff_dim, num_layers=m.num_layers,
         dropout=m.dropout, selfattn=m.selfattn, concat=m.concat,
     )
+    photo_cls, spec_cls = PhotometricVAE, SpectraVAE
+    if m.bright:
+        # model.bright=true → Bright sub-VAEs (ZTF_photospect.py imports)
+        from ..models import BrightPhotometricVAE as photo_cls
+        from ..models import BrightSpectraVAE as spec_cls
     return PhotoSpecMMVAE(
         vaes=[
-            PhotometricVAE(num_bands=cfg.num_bands, **shared),
-            SpectraVAE(**shared),
+            photo_cls(num_bands=cfg.num_bands, **shared),
+            spec_cls(**shared),
         ],
         beta=cfg.train.beta,
     )

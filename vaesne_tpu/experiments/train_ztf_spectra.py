@@ -22,7 +22,12 @@ from .common import parse_cli, resolve_dataset, split_tuples, train_loop
 
 def build_model(cfg: ZTFSpectraConfig) -> SpectraVAE:
     m = cfg.model
-    return SpectraVAE(
+    cls = SpectraVAE
+    if m.bright:
+        # model.bright=true → BrightSpectraVAE, the class the reference's
+        # ZTF spectra script actually imports (ZTF_spectonly.py:12)
+        from ..models import BrightSpectraVAE as cls
+    return cls(
         latent_len=m.latent_len, latent_dim=m.latent_dim, model_dim=m.model_dim,
         num_heads=m.num_heads, ff_dim=m.ff_dim, num_layers=m.num_layers,
         dropout=m.dropout, selfattn=m.selfattn, concat=m.concat,
