@@ -270,3 +270,19 @@ class TestHarnessEndToEnd:
         for v in out.values():
             assert v.shape == (3, B, Ns)
             assert np.isfinite(v).all()
+
+    def test_masking_sweep_mesh_matches_single_device(self, tiny_mmvae):
+        """VERDICT r3 #8: the robustness sweep sharded over the mesh must
+        reproduce the single-device result exactly (same chunking + keys,
+        only the placement differs)."""
+        from vaesne_tpu.parallel import make_mesh
+
+        model, variables, batch = tiny_mmvae
+        kw = dict(missing_portions=(0.0, 0.5), K=3, chunk_size=2)
+        single = masking_sweep(model, variables, batch, **kw)
+        meshed = masking_sweep(
+            model, variables, batch,
+            mesh=make_mesh(devices=jax.devices()[:2], data=2), **kw)
+        for p in kw["missing_portions"]:
+            np.testing.assert_allclose(single[p], meshed[p],
+                                       rtol=1e-5, atol=1e-6)
