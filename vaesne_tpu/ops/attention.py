@@ -193,6 +193,17 @@ def _ab_unfold() -> bool:
     return env_flag("VAESNE_AB_UNFOLD", False)
 
 
+def _ab_divide() -> bool:
+    """A/B-ONLY trace-time knob (``VAESNE_AB_DIVIDE=1``): normalize the
+    softmax with a full [qt, Lk] divide instead of folding 1/rowsum onto
+    the [Dh, qt] matmul output — the exact variant the folded default
+    replaced (round 4), kept so the fold's delta stays measurable. Never
+    set in production."""
+    from .dispatch import env_flag
+
+    return env_flag("VAESNE_AB_DIVIDE", False)
+
+
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
                 rate, lq, qt, interpret=False):
     q = q_ref[0]  # [Dh, qt]   (packed-transposed layout)
@@ -204,8 +215,18 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * (1.0 / math.sqrt(dh))  # [qt, Lk]
     s = s + bias[None, :]
-    p = jax.nn.softmax(s, axis=-1)
     unfold = rate > 0.0 and _ab_unfold()
+    divide = _ab_divide()
+    if divide:
+        p = jax.nn.softmax(s, axis=-1)
+    else:
+        # softmax numerator only: the 1/rowsum normalization is folded onto
+        # the [Dh, qt] matmul output below (Lk/Dh = 123x fewer ops at
+        # Lk=982) — dropout zeroes the SAME Bernoulli entries either way,
+        # and the row normalizer uses the pre-drop sum exactly as torch
+        # does (dropout acts on normalized probabilities)
+        p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+        denom = jnp.sum(p, axis=-1)  # [qt], in [1, Lk] — never overflows
     if rate > 0.0:
         keep = _dropout_mask(seed_ref, p.shape, rate, qt, interpret)
         p = jnp.where(keep, p, 0.0)
@@ -217,8 +238,12 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
     o = jax.lax.dot_general(
         v, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    if rate > 0.0 and not unfold:
-        o = o * (1.0 / (1.0 - rate))
+    inv = 1.0 / (1.0 - rate) if (rate > 0.0 and not unfold) else 1.0
+    if divide:
+        if inv != 1.0:
+            o = o * inv
+    else:
+        o = o * (inv / denom)[None, :]
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -238,38 +263,13 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     s = s + bias[None, :]
-    p = jax.nn.softmax(s, axis=-1)  # recomputed, [qt, Lk]
     inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
     unfold = rate > 0.0 and _ab_unfold()
-    if rate > 0.0:
-        keep = _dropout_mask(seed_ref, p.shape, rate, qt, interpret)
-        p_masked = jnp.where(keep, p, 0.0)  # p_drop without the inv rescale
-        if unfold:  # A/B-only: elementwise [qt, Lk] rescales, no folding
-            p_masked = p_masked * inv
-    else:
-        p_masked = p
-    vrow = _valid_mask(lq, qt, p.shape, 0)  # [qt, Lk]
-    p_acc = jnp.where(vrow, p_masked, 0.0)
+    vrow = _valid_mask(lq, qt, s.shape, 0)  # [qt, Lk]
     # dp_drop [qt, Lk] = do^T v  (contract Dh)
     dp_drop = jax.lax.dot_general(
         do, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    if rate > 0.0:
-        dp = jnp.where(keep, dp_drop, 0.0)  # dp / inv
-        if unfold:
-            dp = dp * inv
-    else:
-        dp = dp_drop
-    # dp enters the softmax backward linearly, so the dropout inv rescale
-    # folds into the scalar (scale * inv) — never a [qt, Lk] multiply
-    ds_scale = scale if unfold else scale * inv
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * ds_scale
-    ds = jnp.where(vrow, ds, 0.0)
-    # dq [Dh, qt] = k @ ds^T
-    dq_ref[0] = jax.lax.dot_general(
-        k, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(dq_ref.dtype)
-
     t = pl.program_id(2)
 
     @pl.when(t == 0)
@@ -277,17 +277,75 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    # dk [Dh, Lk] = q @ ds ; dv [Dh, Lk] = do @ p_acc * inv (the dropout
-    # rescale of p_drop folded onto the [Dh, Lk] matmul output)
+    if _ab_divide() or unfold:
+        # A/B-only reference path: full [qt, Lk] softmax divide + the
+        # (optionally unfolded) dropout rescales — the pre-round-4 body.
+        p = jax.nn.softmax(s, axis=-1)  # recomputed, [qt, Lk]
+        if rate > 0.0:
+            keep = _dropout_mask(seed_ref, p.shape, rate, qt, interpret)
+            p_masked = jnp.where(keep, p, 0.0)  # p_drop sans inv rescale
+            if unfold:  # elementwise [qt, Lk] rescales, no folding
+                p_masked = p_masked * inv
+            dp = jnp.where(keep, dp_drop, 0.0)
+            if unfold:
+                dp = dp * inv
+        else:
+            p_masked = p
+            dp = dp_drop
+        p_acc = jnp.where(vrow, p_masked, 0.0)
+        # dp enters the softmax backward linearly, so the dropout inv
+        # rescale folds into the scalar (scale * inv), never a [qt, Lk] mul
+        ds_scale = scale if unfold else scale * inv
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * ds_scale
+        ds = jnp.where(vrow, ds, 0.0)
+        dq_ref[0] = jax.lax.dot_general(
+            k, ds, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
+        dk_ref[0] += jax.lax.dot_general(
+            q, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(dk_ref.dtype)
+        dv = jax.lax.dot_general(
+            do, p_acc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if rate > 0.0 and not unfold:
+            dv = dv * inv
+        dv_ref[0] += dv.astype(dv_ref.dtype)
+        return
+
+    # Folded default (round 4): work with the softmax NUMERATOR e and fold
+    # every per-row 1/denom — and the dropout inv — onto [Dh, qt]-shaped
+    # column scalings around the matmuls. Identities (p = e/denom, dp =
+    # keep∘dp_drop, both per row j):
+    #   ds_j = p∘(dp − Σ dp∘p)·scale·inv = (e∘u − e·rs_j)·(scale·inv/denom_j)
+    #     with u = keep∘e∘dp_drop is wrong — u = keep∘dp_drop; e∘u below
+    #   dv[:,l] = Σ_j do[:,j]·(keep∘e)[j,l]·inv/denom_j → scale do columns
+    #   dq[:,j] (col j) and dk via q columns carry ds's row factor c_j.
+    # Eliminates the [qt, Lk] softmax divide and one where/mul pass.
+    e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    rdenom = 1.0 / jnp.sum(e, axis=-1)  # [qt]; denom in [1, Lk]
+    if rate > 0.0:
+        keep = _dropout_mask(seed_ref, e.shape, rate, qt, interpret)
+        e_keep = jnp.where(keep, e, 0.0)
+        u = jnp.where(keep, dp_drop, 0.0)
+    else:
+        e_keep = e
+        u = dp_drop
+    t_ = e * u  # e∘dp (dp without inv; inv folds into c below)
+    rs = jnp.sum(t_, axis=-1) * rdenom  # [qt] = Σ dp∘p per row
+    ds_un = jnp.where(vrow, t_ - e * rs[:, None], 0.0)
+    c = (scale * inv) * rdenom  # [qt] per-row factor of ds
+    dq_ref[0] = (jax.lax.dot_general(
+        k, ds_un, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * c[None, :]).astype(dq_ref.dtype)
     dk_ref[0] += jax.lax.dot_general(
-        q, ds, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        q * c[None, :], ds_un, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(dk_ref.dtype)
-    dv = jax.lax.dot_general(
-        do, p_acc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    if rate > 0.0 and not unfold:
-        dv = dv * inv
-    dv_ref[0] += dv.astype(dv_ref.dtype)
+    e_acc = jnp.where(vrow, e_keep, 0.0)
+    dv_ref[0] += jax.lax.dot_general(
+        do * (inv * rdenom)[None, :], e_acc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
 
 
 def _specs(dh, Lk, qt):
