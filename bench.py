@@ -15,6 +15,7 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N}
 """
 
+import functools
 import json
 import os
 import time
@@ -55,7 +56,7 @@ B = 512          # TPU-native batch; per-sample work identical to reference
 K = 2
 LP, NS = 60, 982
 WARMUP_STEPS = 2
-TIMED_STEPS = 5
+TIMED_STEPS = 10
 WINDOWS = 2  # report the best window (honest ~2s/step: keep total wall low)
 
 
@@ -129,22 +130,34 @@ def main():
         return objectives.m_iwae(m, variables, b, K=K, key=k,
                                  deterministic=False)
 
-    step = make_train_step(model, opt, loss_fn)
+    # The timed window is ONE compiled lax.scan of TIMED_STEPS train steps —
+    # exactly how production trains (train_loop's scan_epoch dispatches one
+    # program per EPOCH). Per-call timing would charge the tunneled
+    # dispatch round-trip (~98 ms/call measured 2026-08-20,
+    # scripts/probe_encoder.py "dispatch floor") to every step — a cost the
+    # production path pays once per epoch, not per step.
+    raw_step = make_train_step(model, opt, loss_fn, jit=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def window(state, b):
+        def body(s, _):
+            s, loss = raw_step(s, b)
+            return s, loss
+        state, losses = jax.lax.scan(body, state, None, length=TIMED_STEPS)
+        return state, losses[-1]
 
     # NB: synchronize by READING the loss value, not jax.block_until_ready —
     # on the tunneled axon backend block_until_ready returns before device
     # execution finishes (measured: a 82 ms attention call "completes" in
     # 0.05 ms under block_until_ready). A device->host transfer of the loss
     # (which depends on the whole train-step chain) forces real completion.
-    for _ in range(WARMUP_STEPS):
-        state, loss = step(state, batch)
+    state, loss = window(state, batch)  # warmup: compile + one full window
     float(loss)
 
     best_dt = float("inf")
     for _ in range(WINDOWS):
         t0 = time.perf_counter()
-        for _ in range(TIMED_STEPS):
-            state, loss = step(state, batch)
+        state, loss = window(state, batch)
         float(loss)  # sync: loss depends on every step in the window
         best_dt = min(best_dt, time.perf_counter() - t0)
 

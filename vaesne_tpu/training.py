@@ -175,7 +175,8 @@ def accumulate_gradients(
 
 
 def make_train_step(model, optimizer: optax.GradientTransformation, loss_fn: LossFn,
-                    accum_steps: int = 1, accum_reduction: str = "mean"):
+                    accum_steps: int = 1, accum_reduction: str = "mean",
+                    jit: bool = True):
     """Build the fused train step: grads of -loss_fn + optax update, one jit.
 
     Works unchanged on a sharded ``TrainState``/batch: under GSPMD the same
@@ -188,6 +189,11 @@ def make_train_step(model, optimizer: optax.GradientTransformation, loss_fn: Los
     HBM — the trainer-level replacement for the reference's in-loss
     ``compute_microbatch_split`` (losses.py:68-76). ``accum_reduction`` must
     match the objective's batch reduction ("sum" for ``m_iwae``).
+
+    ``jit=False`` returns the raw (untraced) step for callers that embed it
+    in a larger compiled program (e.g. a ``lax.scan`` over steps — the
+    bench's dispatch-free timing window; ``make_scan_epoch`` is the
+    production equivalent).
     """
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Array]:
@@ -213,6 +219,8 @@ def make_train_step(model, optimizer: optax.GradientTransformation, loss_fn: Los
         )
         return new_state, loss
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,))
 
 
