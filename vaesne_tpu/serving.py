@@ -222,9 +222,14 @@ class InferenceServer:
     def crossmodal_ci(self, x_in, x_out, direction: Tuple[int, int] = (0, 1),
                       K: int = 100, alpha: float = 0.1,
                       key: Optional[Array] = None):
-        """(mean, lo, hi): posterior-predictive mean and the (1−alpha) CI
-        band over K posterior samples — the reference's eval-harness summary
-        (evaluation.py:4-13, alpha_level=0.1) as one on-device program."""
+        """(mean, lo, hi): posterior mean and the (1−alpha) band over K
+        posterior samples — the reference's eval-harness summary
+        (evaluation.py:4-13, alpha_level=0.1) as one on-device program.
+
+        NB this is the reference-semantics LATENT-ONLY band: the spread of
+        K decoder means, not a calibrated predictive interval (the model's
+        likelihood scale is a constant — see PARITY.md "CI coverage").
+        Sample from the decoder distribution for a full predictive band."""
         self._require_mmvae("crossmodal_ci")
         n = jax.tree_util.tree_leaves(x_in)[0].shape[0]
         k = self._next_key(key)
