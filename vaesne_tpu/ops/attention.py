@@ -68,13 +68,20 @@ def _q_tile(lq: int, env_var: str, dtype) -> int:
     layout, so tiles are 128-aligned; the cap bounds the per-block VMEM
     temps on the long 982-token decoder grids.
 
-    The default cap is dtype-aware: 1024 for bf16 inputs (measured fastest,
-    fits scoped VMEM), 512 for fp32 — fp32 operands under
-    ``jax_default_matmul_precision=highest`` add operand-split temporaries
-    that push a 1024-row backward block past the 16 MB scoped-VMEM limit
-    (observed: 21.6 MB). An explicit VAESNE_ATTN_QT_* env always wins."""
+    Default cap 1024 for BOTH dtypes since round 4: the softmax-denominator
+    fold removed enough live [qt, Lk] temporaries that the fp32 backward
+    now fits scoped VMEM at 1024 rows — measured 729.8 → 808.9 samples/sec
+    (+10.8%) on the bench's fp32 leg. The ONE remaining exception:
+    fp32 under ``jax_default_matmul_precision=highest`` still adds
+    operand-split temporaries that overflow scoped VMEM at 1024 (verified
+    2026-08-20: remote compile rejects it), so that combination keeps the
+    512 clamp — it is the golden-parity/testing configuration, never the
+    production throughput path. An explicit VAESNE_ATTN_QT_* env always
+    wins."""
     cap = _tile_cap(env_var)
-    if os.environ.get(env_var) is None and jnp.dtype(dtype).itemsize >= 4:
+    if (os.environ.get(env_var) is None
+            and jnp.dtype(dtype).itemsize >= 4
+            and jax.config.jax_default_matmul_precision == "highest"):
         cap = min(cap, 512)
     return min(cap, max(128, -(-lq // 128) * 128))
 
