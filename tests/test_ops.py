@@ -152,19 +152,60 @@ def test_dropout_keep_rate_statistics(key, monkeypatch, bits):
 
 
 def test_q_tile_dtype_aware_cap(monkeypatch):
-    """Default cap: 1024 for bf16, 512 for fp32 (scoped-VMEM limit under
-    matmul_precision=highest); an explicit env override always wins."""
+    """Default cap 1024 for both dtypes since round 4; the ONE clamp left
+    is fp32 under matmul_precision=highest (scoped-VMEM limit — the
+    golden-parity config, which this suite's conftest pins). An explicit
+    env override always wins."""
     from vaesne_tpu.ops.attention import _q_tile
 
     monkeypatch.delenv("VAESNE_ATTN_QT_FWD", raising=False)
+    assert jax.config.jax_default_matmul_precision == "highest"  # conftest
     assert _q_tile(982, "VAESNE_ATTN_QT_FWD", jnp.bfloat16) == 1024
     assert _q_tile(982, "VAESNE_ATTN_QT_FWD", jnp.float32) == 512
     assert _q_tile(300, "VAESNE_ATTN_QT_FWD", jnp.float32) == 384
+    try:
+        # production default precision: fp32 gets 1024 too (round 4 — the
+        # softmax-denominator fold freed the backward VMEM)
+        jax.config.update("jax_default_matmul_precision", None)
+        assert _q_tile(982, "VAESNE_ATTN_QT_FWD", jnp.float32) == 1024
+    finally:
+        jax.config.update("jax_default_matmul_precision", "highest")
     monkeypatch.setenv("VAESNE_ATTN_QT_FWD", "1024")
     assert _q_tile(982, "VAESNE_ATTN_QT_FWD", jnp.float32) == 1024
     monkeypatch.setenv("VAESNE_ATTN_QT_FWD", "100")
     with pytest.raises(ValueError):
         _q_tile(982, "VAESNE_ATTN_QT_FWD", jnp.float32)
+
+
+def test_fold_matches_divide_path_with_dropout(key, monkeypatch):
+    """Round-4 fold: working with the softmax numerator and folding
+    1/rowsum (+ dropout rescale) onto column scalings must reproduce the
+    dividing path bit-for-bit up to float reassociation — forward AND all
+    three gradients, with dropout active (same seed → same keep masks)."""
+    from vaesne_tpu.ops.attention import pack_heads, unpack_heads
+    from vaesne_tpu.ops import fused_attention
+
+    q, k, v, bias = _attn_inputs(key, B=2, H=2, Lq=140, Lk=64, Dh=8)
+    seed = jnp.int32(77)
+    rate = 0.25
+
+    def run():
+        def f(q, k, v):
+            out = fused_attention(pack_heads(q), pack_heads(k),
+                                  pack_heads(v), bias, 2, rate, True, seed)
+            return jnp.sum(unpack_heads(out, 2) ** 2)
+
+        val, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(q, k, v)
+        return val, grads
+
+    monkeypatch.delenv("VAESNE_AB_DIVIDE", raising=False)
+    val_fold, g_fold = run()
+    monkeypatch.setenv("VAESNE_AB_DIVIDE", "1")
+    val_div, g_div = run()
+    np.testing.assert_allclose(float(val_fold), float(val_div), rtol=1e-5)
+    for a, b in zip(g_fold, g_div):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.slow
