@@ -52,7 +52,9 @@ REFERENCE_CPU_SAMPLES_PER_SEC = 0.40  # see BASELINE.md "measured" section
 FLOPS_PER_SAMPLE = 11_010_639_872
 V5E_PEAK_BF16 = 197e12  # FLOP/s per chip (public v5e spec)
 
-B = 512          # TPU-native batch; per-sample work identical to reference
+# TPU-native batch; per-sample work identical to reference. Overridable
+# for batch-scaling A/Bs (the headline contract always runs the default).
+B = int(os.environ.get("VAESNE_BENCH_B", "512"))
 K = 2
 LP, NS = 60, 982
 WARMUP_STEPS = 2

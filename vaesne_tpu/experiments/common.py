@@ -325,6 +325,9 @@ def train_loop(
         else:
             state = replicate_state(state, mesh)
         train_data = jax.device_put(train_data, replicated(mesh))
+        if log:
+            print(f"training on {mesh.devices.size} devices "
+                  f"(mesh {dict(mesh.shape)})")
     if augment_fn is not None:
         # ONE compiled program per epoch instead of an eager op-chain: the
         # tunneled TPU compile service charges ~60 s per uncached one-op
