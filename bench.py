@@ -54,7 +54,11 @@ V5E_PEAK_BF16 = 197e12  # FLOP/s per chip (public v5e spec)
 
 # TPU-native batch; per-sample work identical to reference. Overridable
 # for batch-scaling A/Bs (the headline contract always runs the default).
-B = int(os.environ.get("VAESNE_BENCH_B", "512"))
+# Default 192 since round 4: the post-fold batch sweep (64..1024, measured
+# on-chip 2026-08-20, PERFORMANCE.md "Round-4 batch sweep") peaks at
+# B=192 — the smaller logit working set streams better than the old 512
+# now that the full-volume softmax divide is gone; 992 vs 914 samples/sec.
+B = int(os.environ.get("VAESNE_BENCH_B", "192"))
 K = 2
 LP, NS = 60, 982
 WARMUP_STEPS = 2
