@@ -53,14 +53,22 @@ _RESTORE_DISPATCH = {
 
 
 def _pad_to(batch, size: int):
-    """Pad every leaf's event axis up to ``size`` by repeating event 0."""
+    """Pad every leaf's event axis up to ``size`` by repeating event 0.
+
+    Padding runs HOST-side (numpy): eager ``jnp`` pad ops dispatch one
+    device program per leaf per op, which on a tunneled backend costs
+    seconds per padded request (measured 2026-08-20: 6–9 s for a padded
+    K=100 crossmodal call vs 0.66 s exact-bucket — scripts/
+    bench_serving.py). A request is ≤ bucket-sized, so the numpy copy is
+    sub-millisecond and the jitted program transfers it once at dispatch."""
 
     def pad(a):
         n = a.shape[0]
         if n == size:
             return a
-        reps = jnp.broadcast_to(a[:1], (size - n,) + a.shape[1:])
-        return jnp.concatenate([a, reps], axis=0)
+        a_np = np.asarray(a)
+        reps = np.broadcast_to(a_np[:1], (size - n,) + a_np.shape[1:])
+        return np.concatenate([a_np, reps], axis=0)
 
     return jax.tree_util.tree_map(pad, batch)
 
