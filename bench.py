@@ -23,10 +23,11 @@ import time
 # TPU-native training config: bfloat16 compute (fp32 params/optimizer).
 # Validated against fp32: losses track to ~1e-5 relative over training.
 os.environ.setdefault("VAESNE_BF16", "1")
-# At the bench operating point (bf16, B=512) all activations fit in HBM, so
-# block rematerialization only recomputes the forward for nothing (honest
-# A/B: no throughput cost either way at this size; scripts/tune_honest.py).
-# Larger-than-HBM batches should keep VAESNE_REMAT=1 (the library default).
+# At the bench operating point (bf16, B=192 — validated up to B=512) all
+# activations fit in HBM, so block rematerialization only recomputes the
+# forward for nothing (honest A/B: no throughput cost either way at these
+# sizes; scripts/tune_honest.py). Larger-than-HBM batches should keep
+# VAESNE_REMAT=1 (the library default).
 os.environ.setdefault("VAESNE_REMAT", "0")
 # Persist compiled programs IN THE REPO (gitignored): the tunneled compile
 # service occasionally hangs on large programs; a warm cache makes repeat
@@ -61,7 +62,6 @@ V5E_PEAK_BF16 = 197e12  # FLOP/s per chip (public v5e spec)
 B = int(os.environ.get("VAESNE_BENCH_B", "192"))
 K = 2
 LP, NS = 60, 982
-WARMUP_STEPS = 2
 TIMED_STEPS = 10
 WINDOWS = 2  # report the best window (honest ~2s/step: keep total wall low)
 

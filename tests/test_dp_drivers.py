@@ -31,9 +31,17 @@ def test_resolve_mesh_specs():
     assert resolve_mesh("off") is None
     m = resolve_mesh("auto")
     assert m is not None and m.shape[DATA_AXIS] == n
-    # gcd degrade: batch 6 on 8 devices -> 2-chip DP, batch 5 -> None
-    assert resolve_mesh("auto", batch_size=6).shape[DATA_AXIS] == 2
-    assert resolve_mesh("auto", batch_size=5) is None
+    # gcd degrade: batch 6 on 8 devices -> 2-chip DP, batch 5 -> None —
+    # but LOUDLY (VERDICT r4 #7: silent under-use of the machine)
+    with pytest.warns(RuntimeWarning, match="does not divide"):
+        assert resolve_mesh("auto", batch_size=6).shape[DATA_AXIS] == 2
+    with pytest.warns(RuntimeWarning, match="does not divide"):
+        assert resolve_mesh("auto", batch_size=5) is None
+    import warnings
+
+    with warnings.catch_warnings():  # the even case stays silent
+        warnings.simplefilter("error")
+        assert resolve_mesh("auto", batch_size=16).shape[DATA_AXIS] == n
     m4 = resolve_mesh("4")
     assert m4.shape == {"data": 4, "model": 1}
     m42 = resolve_mesh("4x2")

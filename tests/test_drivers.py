@@ -354,7 +354,6 @@ def test_bench_contract_cpu(tmp_path, capsys, monkeypatch):
     monkeypatch.setattr(bench, "B", 2)
     monkeypatch.setattr(bench, "LP", 12)  # tiny grids: the conftest's
     monkeypatch.setattr(bench, "NS", 64)  # 8-device mesh multiplies B by 8
-    monkeypatch.setattr(bench, "WARMUP_STEPS", 1)
     monkeypatch.setattr(bench, "TIMED_STEPS", 2)
     monkeypatch.setattr(bench, "WINDOWS", 1)
     bench.main()

@@ -120,6 +120,21 @@ def test_image_vae_focal_loc(key):
     assert px_z.loc.shape == (1, 2, 3, 16, 16)
 
 
+def test_image_vae_malformed_event_loc_raises(key):
+    """A non-empty event_loc that is not [B, 2] under focal_loc=True must
+    raise, not silently disable conditioning (VERDICT r4 #7)."""
+    img = jnp.ones((2, 3, 16, 16))
+    m = HostImgVAE(img_size=16, patch_size=4, in_channels=3, focal_loc=True,
+                   **SMALL)
+    v = _init(m, key, (img, jnp.zeros((2, 2))))
+    with pytest.raises(ValueError, match="event_loc"):
+        m.apply(v, (img, jnp.zeros((2, 3))), 1, rngs={"sample": key})
+    # the empty placeholder (data_util.py:44) still means "no conditioning"
+    qz_x, px_z, _ = m.apply(v, (img, jnp.zeros((2, 0))), 1,
+                            rngs={"sample": key})
+    assert px_z.loc.shape == (1, 2, 3, 16, 16)
+
+
 def test_mmvae_cross_modal_matrix(key, multimodal_batch):
     """[e][d] convention: row = expert (source), column = decoder (target).
     Reference: try_photospectra_model.py:78."""

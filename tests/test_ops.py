@@ -96,10 +96,13 @@ def test_masked_laplace_loglik_row_remainder(key):
 
 
 def test_dropout_mask_tile_invariant(key, monkeypatch):
-    """The in-kernel dropout bit-stream is seeded per absolute 128-row block
-    (NOT per q-tile), so the forward output must be bit-identical across
-    q-tile choices — the property that legalizes asymmetric fwd/bwd tiles
-    (VAESNE_ATTN_QT_FWD/_BWD)."""
+    """The per-row-block dropout bit-stream is seeded per absolute 128-row
+    block (NOT per q-tile), so the forward output must be bit-identical
+    across q-tile choices — the property that legalizes asymmetric fwd/bwd
+    tiles (VAESNE_ATTN_QT_FWD/_BWD). Pinned to DRAW=block: the round-5
+    single-draw fast path is tile-DEPENDENT by design and only legal when
+    fwd==bwd tiles (covered by test_dropout_single_draw_* below)."""
+    monkeypatch.setenv("VAESNE_DROPOUT_DRAW", "block")
     q, k, v, bias = _attn_inputs(key, B=1, H=2, Lq=300, Lk=64, Dh=8)
     monkeypatch.setenv("VAESNE_ATTN_QT_FWD", "128")
     a = fused_bhld(q, k, v, bias, rate=0.4, seed=jnp.int32(7))
@@ -129,6 +132,68 @@ def test_dropout_bwd_mask_matches_fwd(key, monkeypatch):
     lhs = (loss(v + eps * d) - loss(v - eps * d)) / (2 * eps)
     rhs = jnp.vdot(g, d)
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
+
+
+def test_dropout_single_draw_selection(monkeypatch):
+    """The single-draw fast path engages exactly when fwd and bwd q-tiles
+    resolve equal, and VAESNE_DROPOUT_DRAW=block always disables it."""
+    from vaesne_tpu.ops.attention import _single_draw
+
+    monkeypatch.delenv("VAESNE_ATTN_QT_FWD", raising=False)
+    monkeypatch.delenv("VAESNE_ATTN_QT_BWD", raising=False)
+    monkeypatch.delenv("VAESNE_DROPOUT_DRAW", raising=False)
+    # defaults: equal caps in every dtype/precision combination
+    assert _single_draw(982, jnp.bfloat16)
+    assert _single_draw(982, jnp.float32)
+    monkeypatch.setenv("VAESNE_ATTN_QT_FWD", "384")
+    monkeypatch.setenv("VAESNE_ATTN_QT_BWD", "128")
+    assert not _single_draw(300, jnp.float32)
+    monkeypatch.setenv("VAESNE_ATTN_QT_BWD", "384")
+    assert _single_draw(300, jnp.float32)
+    monkeypatch.setenv("VAESNE_DROPOUT_DRAW", "block")
+    assert not _single_draw(300, jnp.float32)
+    monkeypatch.setenv("VAESNE_DROPOUT_DRAW", "bogus")
+    with pytest.raises(ValueError, match="DROPOUT_DRAW"):
+        _single_draw(300, jnp.float32)
+
+
+def test_dropout_single_draw_bwd_mask_matches_fwd(key, monkeypatch):
+    """Single-draw path (equal fwd/bwd tiles, multi-row-block tile): the
+    backward must regenerate the forward's mask bit-identically — checked
+    via the exact directional derivative (output linear in v for a fixed
+    mask). Exercises qt=256 (two 128-row blocks in ONE draw) so a
+    seed-namespace mistake between the paths would show."""
+    q, k, v, bias = _attn_inputs(key, B=1, H=2, Lq=300, Lk=64, Dh=8)
+    monkeypatch.setenv("VAESNE_ATTN_QT_FWD", "256")
+    monkeypatch.setenv("VAESNE_ATTN_QT_BWD", "256")
+    monkeypatch.delenv("VAESNE_DROPOUT_DRAW", raising=False)
+
+    def loss(v):
+        return jnp.sum(fused_bhld(q, k, v, bias, rate=0.4, seed=jnp.int32(3)))
+
+    g = jax.grad(loss)(v)
+    d = jax.random.normal(key, v.shape)
+    eps = 1e-2
+    lhs = (loss(v + eps * d) - loss(v - eps * d)) / (2 * eps)
+    rhs = jnp.vdot(g, d)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
+
+
+def test_dropout_single_draw_keep_rate(key, monkeypatch):
+    """Keep-rate statistics hold on the single-draw stream at a
+    multi-row-block tile (qt=256)."""
+    monkeypatch.setenv("VAESNE_ATTN_QT_FWD", "256")
+    monkeypatch.setenv("VAESNE_ATTN_QT_BWD", "256")
+    monkeypatch.delenv("VAESNE_DROPOUT_DRAW", raising=False)
+    rate = 0.3
+    q, k, v, bias = _attn_inputs(key, B=1, H=1, Lq=256, Lk=300, Dh=4)
+    v = jnp.ones_like(v)
+    base = fused_bhld(q, k, v, bias, rate=0.0)
+    drop = fused_bhld(q, k, v, bias, rate=rate, seed=jnp.int32(11))
+    w = 8  # suite default width
+    expected_keep = 1.0 - round(rate * 2.0**w) / 2.0**w
+    realized = float(jnp.sum(drop) * (1.0 - rate) / jnp.sum(base))
+    assert abs(realized - expected_keep) < 0.02, (realized, expected_keep)
 
 
 @pytest.mark.parametrize("bits", ["8", "16", "32"])

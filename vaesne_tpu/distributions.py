@@ -88,6 +88,12 @@ class Laplace:
     # torch-API aliases so ported user code reads the same
     rsample = sample
 
+    @property
+    def observed(self) -> "Laplace":
+        """No mask inflation to strip — the distribution itself (predictive-
+        band API parity with :class:`MaskedGridLaplace.observed`)."""
+        return self
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -178,6 +184,16 @@ class MaskedGridLaplace:
         return Laplace(self.loc, self.scale).sample(key, sample_shape)
 
     rsample = sample
+
+    @property
+    def observed(self) -> "Laplace":
+        """The likelihood restricted to OBSERVED grid points: Laplace(loc, 1),
+        i.e. the scale without the ``1 + big·mask`` inflation. The inflation
+        exists to null masked points' training gradient (SpectraVAE.py:84-86),
+        not as a predictive model — sampling WITH it would draw ±``big``-sized
+        values on missing bins. Predictive bands (``crossmodgen
+        predictive=True``) sample from this distribution."""
+        return Laplace(self.loc, jnp.ones_like(self.loc))
 
     def grid_loglik(self, x: Array) -> Array:
         """Σ over all grid axes of ``log_prob(x)``, keeping the two leading

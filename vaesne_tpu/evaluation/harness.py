@@ -110,6 +110,7 @@ def mmvae_reconstruction_suite(
     photo_only=None,  # optional (model, variables) unimodal baselines
     spec_only=None,
     norm: Optional[Dict[str, float]] = None,
+    predictive: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Compute the full spect_cond_LC.py output table in one pass.
 
@@ -117,6 +118,13 @@ def mmvae_reconstruction_suite(
     LC2LC / spec2LC / LC2spec / spec2spec (+ LConly/speconly when the
     unimodal baselines are given, LCencode/specencode posterior means), all
     denormalized when ``norm`` provides {flux,photoflux}_mean/std.
+
+    ``predictive=False`` reproduces the reference semantics exactly: every
+    recon cell holds K decoder MEANS, whose spread is latent-only (the
+    coverage of that band is uncalibratable — PARITY.md "CI coverage").
+    ``predictive=True`` samples each draw from the observed-point
+    likelihood instead, so downstream coverage metrics evaluate the model's
+    actual predictive band.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -128,8 +136,8 @@ def mmvae_reconstruction_suite(
     def full_chunk(chunk, chunk_key):
         out = {}
         recons = mm_model.apply(
-            mm_variables, chunk, K, method="reconstruct",
-            rngs={"sample": chunk_key}
+            mm_variables, chunk, K, predictive=predictive,
+            method="reconstruct", rngs={"sample": chunk_key}
         )
         out["LC2LC"] = recons[0][0]
         out["LC2spec"] = recons[0][1]
@@ -153,7 +161,8 @@ def mmvae_reconstruction_suite(
     if photo_only is not None:
         pm, pv = photo_only
         f = jax.jit(
-            lambda chunk, k: pm.apply(pv, chunk, K, method="reconstruct",
+            lambda chunk, k: pm.apply(pv, chunk, K, predictive=predictive,
+                                      method="reconstruct",
                                       rngs={"sample": k})
         )
         results["LConly"] = np.asarray(
@@ -163,7 +172,8 @@ def mmvae_reconstruction_suite(
     if spec_only is not None:
         sm, sv = spec_only
         f = jax.jit(
-            lambda chunk, k: sm.apply(sv, chunk, K, method="reconstruct",
+            lambda chunk, k: sm.apply(sv, chunk, K, predictive=predictive,
+                                      method="reconstruct",
                                       rngs={"sample": k})
         )
         results["speconly"] = np.asarray(
@@ -200,16 +210,19 @@ def evaluate_mmvae(
     mesh=None,
     spec_only=None,
     recs: Optional[Dict[str, np.ndarray]] = None,
+    predictive: bool = False,
 ) -> Dict[str, np.ndarray]:
     """End-to-end: reconstructions → per-phase residual/coverage/width/MSE,
     the single-pass equivalent of spect_cond_LC.py + evaluation.py.
     ``gt_*`` are in the same (physical or normalized) units as the recons.
     Pass ``recs`` (a prior ``mmvae_reconstruction_suite`` result) to skip
-    recomputing the inference pass."""
+    recomputing the inference pass. ``predictive=True`` computes the
+    coverage/width metrics over predictive draws (likelihood noise
+    included) instead of the reference's latent-only decoder means."""
     if recs is None:
         recs = mmvae_reconstruction_suite(
             mm_model, mm_variables, test_batch, K=K, chunk_size=chunk_size,
-            key=key, mesh=mesh, spec_only=spec_only,
+            key=key, mesh=mesh, spec_only=spec_only, predictive=predictive,
         )
     sets = {"mm": recs["LC2spec"]}
     gts = {"mm": gt_spectra}

@@ -317,7 +317,12 @@ def train_loop(
         # TP-sharded for an "NxM" spec), data replicated device-resident —
         # each step's batch gets its data-axis sharding inside the compiled
         # epoch (make_scan_epoch) or per batch below
-        from ..parallel import replicate_state, replicated, shard_state_tp
+        from ..parallel import (
+            replicate_state,
+            replicated,
+            shard_batch,
+            shard_state_tp,
+        )
 
         if mesh.shape[MODEL_AXIS] > 1:
             state = shard_state_tp(state, opt, mesh,
@@ -356,8 +361,6 @@ def train_loop(
             step_losses = []
             for batch in epoch_batches(k_shuffle, epoch_data, train_cfg.batch_size):
                 if mesh is not None:
-                    from ..parallel import shard_batch
-
                     batch = shard_batch(batch, mesh)
                 state, loss = step_fn(state, batch)
                 step_losses.append(loss)

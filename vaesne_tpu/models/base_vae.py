@@ -129,12 +129,21 @@ class BaseVAE(nn.Module):
             return MaskedGridLaplace(loc, mask, big)
         return self.likelihood(loc, jnp.ones_like(loc) + big * mask)
 
-    def reconstruct(self, x, K: int = 1) -> Array:
-        """Posterior-sample reconstructions: mean of p(x|z_k), [K, B, ...]."""
+    def reconstruct(self, x, K: int = 1, predictive: bool = False) -> Array:
+        """Posterior-sample reconstructions, [K, B, ...].
+
+        ``predictive=False`` (reference base_vae.py:53 semantics): the mean
+        of p(x|z_k) per draw — spread over K is latent-only. ``True``:
+        sample each draw from the observed-point likelihood
+        (``px_z.observed``), giving draws from the model's predictive
+        distribution (see PARITY.md "CI coverage")."""
         mu, scale = self._enc_params(x, True)
         qz_x = self.posterior(mu, scale)
         zs = qz_x.sample(self.make_rng("sample"), (K,))
-        return self.decode(zs, x, deterministic=True).mean
+        px_z = self.decode(zs, x, deterministic=True)
+        if predictive:
+            return px_z.observed.sample(self.make_rng("sample"))
+        return px_z.mean
 
     def generate(self, N: int, x) -> Array:
         """Prior-sample generations conditioned on x's observation grids.

@@ -101,11 +101,22 @@ class HostImgVAE(BaseVAE):
 
     def _split_x(self, x):
         """(image, event_loc) with event_loc honored only under focal_loc
-        (reference ImageVAE.py:187-191; empty placeholder otherwise)."""
+        (reference ImageVAE.py:187-191; empty placeholder otherwise).
+
+        An EMPTY second element is the dataset placeholder
+        (``ImagePathDataset`` yields ``(image, empty_tensor)``,
+        data_util.py:44) and means "no conditioning". A NON-empty
+        event_loc that is not ``[B, 2]`` is a caller bug — raising beats
+        silently disabling the conditioning the caller asked for."""
         image = x[0]
         event_loc = x[1] if (self.focal_loc and len(x) > 1) else None
-        if event_loc is not None and (event_loc.ndim != 2 or event_loc.shape[-1] != 2):
+        if event_loc is not None and event_loc.size == 0:
             event_loc = None
+        if event_loc is not None and (event_loc.ndim != 2 or event_loc.shape[-1] != 2):
+            raise ValueError(
+                f"focal_loc=True expects event_loc of shape [B, 2] (sky "
+                f"coordinates per event), got {event_loc.shape}; pass an "
+                "empty array to disable conditioning")
         return image, event_loc
 
     def _enc_params(self, x, deterministic: bool) -> Tuple[Array, Array]:

@@ -93,22 +93,42 @@ class MMVAE(nn.Module):
         return [vae.decode(latents, x[d], deterministic=True).mean
                 for d, vae in enumerate(self.vaes)]
 
-    def reconstruct(self, x, K: int = 1):
-        """M×M matrix of posterior-mean reconstructions (mmVAE.py:120-126)."""
+    def reconstruct(self, x, K: int = 1, predictive: bool = False):
+        """M×M matrix of posterior reconstructions (mmVAE.py:120-126).
+
+        ``predictive=True`` samples each cell from its observed-point
+        likelihood instead of taking the decoder mean — the calibrated-band
+        variant of the reference's latent-only spread (PARITY.md "CI
+        coverage" prescribes exactly this)."""
         _, px_zs, _ = self(x, K=K, deterministic=True)
+        if predictive:
+            return [[px_z.observed.sample(self.make_rng("sample"))
+                     for px_z in row] for row in px_zs]
         return [[px_z.mean for px_z in row] for row in px_zs]
 
-    def crossmodgen(self, x_in, x_out, direction=(0, 1), K: int = 1):
+    def crossmodgen(self, x_in, x_out, direction=(0, 1), K: int = 1,
+                    predictive: bool = False):
         """Cross-modal generation: encode modality direction[0] from ``x_in``,
         decode modality direction[1] onto ``x_out``'s grids.
 
         Implements the intent of mmVAE.py:128-132 (the reference body
         references an undefined name ``LC`` — mmVAE.py:131 — and cannot run).
-        """
+
+        ``predictive=False`` (reference semantics) returns the K decoder
+        MEANS — their spread is latent-only uncertainty, which is NOT a
+        calibrated predictive band (the likelihood scale never enters; see
+        PARITY.md "CI coverage"). ``predictive=True`` instead samples each
+        draw from the decoder likelihood restricted to observed points
+        (``px_z.observed`` — Laplace(loc, 1) for the grid modalities), so
+        quantiles over K are quantiles of the model's actual predictive
+        distribution p(x_d | x_e) = ∫ p(x_d|z) q(z|x_e) dz."""
         e, d = direction
         qz_x = self.vaes[e].encode(x_in, mean=False)
         zs = qz_x.sample(self.make_rng("sample"), (K,))
-        return self.vaes[d].decode(zs, x_out, deterministic=True).mean
+        px_z = self.vaes[d].decode(zs, x_out, deterministic=True)
+        if predictive:
+            return px_z.observed.sample(self.make_rng("sample"))
+        return px_z.mean
 
 
 class PhotoSpecMMVAE(MMVAE):

@@ -71,6 +71,15 @@ def resolve_mesh(spec: str = "auto", batch_size: Optional[int] = None) -> Option
             import math
 
             n = math.gcd(int(batch_size), n)
+            if n < jax.device_count():
+                import warnings
+
+                warnings.warn(
+                    f"mesh='auto': batch size {batch_size} does not divide "
+                    f"the {jax.device_count()} visible devices; training on "
+                    f"{max(n, 1)} chip(s). Pick a batch divisible by the "
+                    "device count (or an explicit mesh spec) to use them "
+                    "all.", RuntimeWarning, stacklevel=2)
         if n <= 1:
             return None
         return make_mesh(devices=jax.devices()[:n], data=n)

@@ -84,9 +84,13 @@ class InferenceServer:
 
     def __init__(self, model, variables, *,
                  buckets: Sequence[int] = DEFAULT_BUCKETS, seed: int = 0,
-                 mesh=None):
+                 mesh=None, precision: Optional[str] = None):
         if not buckets or sorted(buckets) != list(buckets):
             raise ValueError(f"buckets must be ascending, got {buckets}")
+        if precision not in (None, "fp32", "bf16"):
+            raise ValueError(
+                f"precision must be None, 'fp32' or 'bf16', got {precision!r}")
+        self._precision = precision
         self._model = model
         self._buckets = tuple(int(b) for b in buckets)
         self._mesh = mesh
@@ -111,6 +115,7 @@ class InferenceServer:
         # atomic or two requests can sample with the identical key /
         # double-compile the same bucket program
         self._lock = threading.Lock()
+        self._trace_lock = threading.Lock()
         self.hits = 0
         self.compiles = 0
 
@@ -172,12 +177,44 @@ class InferenceServer:
         with self._lock:
             fn = self._programs.get(key)
             if fn is None:
-                fn = jax.jit(build())
+                fn = jax.jit(self._with_precision(build()))
                 self._programs[key] = fn
                 self.compiles += 1
             else:
                 self.hits += 1
         return fn
+
+    def _with_precision(self, fn):
+        """Pin this server's compute precision at TRACE time.
+
+        ``vaesne_tpu`` reads VAESNE_BF16 when the model functions are traced
+        (``nn.layers.compute_dtype``); the wrapper scopes the env var to the
+        traced body — which executes exactly once per program, on its first
+        call — so a ``precision=`` server is independent of the process-wide
+        setting. The trace lock serializes first-calls of different programs
+        so a concurrent trace never reads a half-flipped env."""
+        if self._precision is None:
+            return fn
+
+        import functools
+        import os
+
+        want = "1" if self._precision == "bf16" else "0"
+
+        @functools.wraps(fn)
+        def traced(*args, **kwargs):
+            with self._trace_lock:
+                prev = os.environ.get("VAESNE_BF16")
+                os.environ["VAESNE_BF16"] = want
+                try:
+                    return fn(*args, **kwargs)
+                finally:
+                    if prev is None:
+                        os.environ.pop("VAESNE_BF16", None)
+                    else:
+                        os.environ["VAESNE_BF16"] = prev
+
+        return traced
 
     def _next_key(self, key: Optional[Array]) -> Array:
         if key is not None:
@@ -204,12 +241,117 @@ class InferenceServer:
                 "embed()/reconstruct-style unimodal calls or serve an "
                 "MMVAE checkpoint")
 
+    def prewarm(
+        self,
+        example,
+        tasks: Optional[Sequence[str]] = None,
+        buckets: Optional[Sequence[int]] = None,
+        Ks: Sequence[int] = (100,),
+        directions: Sequence[Tuple[int, int]] = ((0, 1), (1, 0)),
+        alpha: float = 0.1,
+        predictive: Sequence[bool] = (False,),
+        log: bool = False,
+    ) -> Dict[str, float]:
+        """Compile every (task × bucket × K × direction) program before the
+        first real request.
+
+        A cold bucket program costs one full XLA compile on first contact —
+        measured ~60 s per program through a tunneled compile service and up
+        to ~325 s for the largest K=100 programs (PERFORMANCE.md "Tunnel
+        compile economics"); without prewarming, the FIRST request of each
+        shape eats that stall. Call this at deploy time with one example
+        event per modality; afterwards every request ≤ the top bucket is a
+        cache hit.
+
+        ``example``: a multimodal batch ``(photo_tuple, spec_tuple)`` (or a
+        unimodal tuple for unimodal checkpoints) with ≥1 event — only its
+        shapes/dtypes matter; event 0 is broadcast to every bucket size.
+        Defaults: all buckets, K=100 (the eval fan-out), both directions,
+        tasks appropriate to the model. Returns {program label: seconds},
+        each timed to full device completion (a value is read back)."""
+        multimodal = hasattr(self._model, "vaes")
+        if tasks is None:
+            tasks = (("crossmodal", "crossmodal_ci", "embed", "reconstruct")
+                     if multimodal else ("embed",))
+        bad = [t for t in tasks
+               if t in ("crossmodal", "crossmodal_ci", "reconstruct")
+               and not multimodal]
+        if bad:
+            raise ValueError(
+                f"tasks {bad} need an MMVAE; this server holds a unimodal "
+                f"{type(self._model).__name__}")
+        buckets = self._buckets if buckets is None else tuple(buckets)
+        unknown = [b for b in buckets if b not in self._buckets]
+        if unknown:
+            raise ValueError(
+                f"prewarm buckets {unknown} are not server buckets "
+                f"{self._buckets}; a compiled off-ladder program would "
+                "never be hit")
+        import time
+
+        one = jax.tree_util.tree_map(lambda a: np.asarray(a)[:1], example)
+        modalities = (range(len(self._model.vaes)) if multimodal else (0,))
+        key = jax.random.PRNGKey(0)  # compile-only; values are discarded
+
+        def sync(out):
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+        timings: Dict[str, float] = {}
+
+        def run(label, fn):
+            t0 = time.perf_counter()
+            sync(fn())
+            timings[label] = round(time.perf_counter() - t0, 3)
+            if log:
+                print(f"prewarm {label}: {timings[label]:.1f}s")
+
+        for b in buckets:
+            # pre-pad host-side to exactly b so _bucket_for lands on b
+            padded = _pad_to(one, b)
+            for task in tasks:
+                if task == "embed":
+                    for m in modalities:
+                        x = padded[m] if multimodal else padded
+                        run(f"embed[m={m},b={b}]",
+                            lambda x=x: self.embed(x, modality=m))
+                elif task == "reconstruct":
+                    for K in Ks:
+                        run(f"reconstruct[K={K},b={b}]",
+                            lambda K=K: self.reconstruct(padded, K=K,
+                                                         key=key))
+                elif task in ("crossmodal", "crossmodal_ci"):
+                    for e, d in directions:
+                        for K in Ks:
+                            for p in predictive:
+                                x_in, x_out = padded[e], padded[d]
+                                if task == "crossmodal":
+                                    run(f"crossmodal[{e}->{d},K={K},b={b},"
+                                        f"pred={p}]",
+                                        lambda x_in=x_in, x_out=x_out, K=K,
+                                        p=p: self.crossmodal(
+                                            x_in, x_out, direction=(e, d),
+                                            K=K, key=key, predictive=p))
+                                else:
+                                    run(f"crossmodal_ci[{e}->{d},K={K},"
+                                        f"b={b},pred={p}]",
+                                        lambda x_in=x_in, x_out=x_out, K=K,
+                                        p=p: self.crossmodal_ci(
+                                            x_in, x_out, direction=(e, d),
+                                            K=K, alpha=alpha, key=key,
+                                            predictive=p))
+                else:
+                    raise ValueError(f"unknown prewarm task {task!r}")
+        return timings
+
     # -- tasks -------------------------------------------------------------
 
     def crossmodal(self, x_in, x_out, direction: Tuple[int, int] = (0, 1),
-                   K: int = 1, key: Optional[Array] = None) -> Array:
+                   K: int = 1, key: Optional[Array] = None,
+                   predictive: bool = False) -> Array:
         """Cross-modal generation (e.g. LC → spectrum): ``[K, B, grid]`` of
-        decoded means on ``x_out``'s grids (mmVAE.py:128 intent)."""
+        decoded means on ``x_out``'s grids (mmVAE.py:128 intent);
+        ``predictive=True`` samples each draw from the observed-point
+        likelihood instead (see ``crossmodal_ci``)."""
         self._require_mmvae("crossmodal")
         n = jax.tree_util.tree_leaves(x_in)[0].shape[0]
         k = self._next_key(key)
@@ -218,26 +360,32 @@ class InferenceServer:
             def run(variables, x_in, x_out, k):
                 return self._model.apply(
                     variables, x_in, x_out, direction=direction, K=K,
+                    predictive=predictive,
                     method="crossmodgen", rngs={"sample": k})
             return run
 
         bucket = self._bucket_for(n)
-        fn = self._program("crossmodal", (direction, K, bucket), build)
+        fn = self._program("crossmodal", (direction, K, bucket, predictive),
+                           build)
         out = fn(self._variables, self._place(x_in, bucket),
                  self._place(x_out, bucket), k)
         return out[:, :n]
 
     def crossmodal_ci(self, x_in, x_out, direction: Tuple[int, int] = (0, 1),
                       K: int = 100, alpha: float = 0.1,
-                      key: Optional[Array] = None):
+                      key: Optional[Array] = None, predictive: bool = False):
         """(mean, lo, hi): posterior mean and the (1−alpha) band over K
         posterior samples — the reference's eval-harness summary
         (evaluation.py:4-13, alpha_level=0.1) as one on-device program.
 
-        NB this is the reference-semantics LATENT-ONLY band: the spread of
-        K decoder means, not a calibrated predictive interval (the model's
-        likelihood scale is a constant — see PARITY.md "CI coverage").
-        Sample from the decoder distribution for a full predictive band."""
+        ``predictive=False`` is the reference-semantics LATENT-ONLY band:
+        the spread of K decoder MEANS, which is NOT a calibrated predictive
+        interval (the likelihood scale never enters; measured coverage 0.143
+        at nominal 0.9 — PARITY.md "CI coverage"). ``predictive=True``
+        samples each of the K draws from the decoder likelihood on observed
+        points (Laplace(loc, 1)), so the band covers at the nominal rate
+        whenever the model's likelihood fits the data
+        (tests/test_serving.py::test_predictive_band_calibrated)."""
         self._require_mmvae("crossmodal_ci")
         n = jax.tree_util.tree_leaves(x_in)[0].shape[0]
         k = self._next_key(key)
@@ -246,6 +394,7 @@ class InferenceServer:
             def run(variables, x_in, x_out, k):
                 draws = self._model.apply(
                     variables, x_in, x_out, direction=direction, K=K,
+                    predictive=predictive,
                     method="crossmodgen", rngs={"sample": k})
                 qs = jnp.quantile(
                     draws, jnp.array([alpha / 2, 1 - alpha / 2]), axis=0)
@@ -253,8 +402,8 @@ class InferenceServer:
             return run
 
         bucket = self._bucket_for(n)
-        fn = self._program("crossmodal_ci", (direction, K, alpha, bucket),
-                           build)
+        fn = self._program("crossmodal_ci",
+                           (direction, K, alpha, bucket, predictive), build)
         mean, lo, hi = fn(self._variables, self._place(x_in, bucket),
                           self._place(x_out, bucket), k)
         return mean[:n], lo[:n], hi[:n]

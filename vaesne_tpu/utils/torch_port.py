@@ -296,6 +296,16 @@ def load_reference_pickle(path: str, package_path: str | None = None):
     """Load a reference whole-module pickle; returns (flat numpy state_dict,
     reference class name).
 
+    .. warning:: **Only run this on checkpoint files you trust.** The
+       reference saves whole ``nn.Module`` pickles (test_photospectra.py:153),
+       which can only be loaded with ``torch.load(weights_only=False)`` —
+       unpickling EXECUTES arbitrary code embedded in the file, and resolving
+       the pickle's class references imports (i.e. executes) the reference
+       ``VAESNe`` package from ``package_path``. A plain
+       ``torch.save(model.state_dict())`` file avoids both: it loads without
+       any package on ``sys.path`` and is the format to ask collaborators
+       for. See MIGRATING.md "Security note".
+
     ``package_path``: directory containing the ``VAESNe`` package so the
     pickle's class references resolve (default: ``$VAESNE_REFERENCE`` or the
     conventional ``/root/reference/package``). Also accepts pickles that are
