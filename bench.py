@@ -243,6 +243,11 @@ def _run_with_watchdog():
     # varies 250-480 s through the tunnel (2026-08-19), so 540 s admits it
     # while bf16(~100 s warm) + fp32 stays inside the driver's >=900 s
     # per-attempt budget.
+    if os.environ.get("VAESNE_BENCH_SKIP_FP32"):
+        # A/B-sweep mode: the fp32 companion costs 250-480 s through the
+        # tunnel; sweeps only compare the bf16 headline. The driver's
+        # contract run never sets this.
+        return 0
     fp32 = _child_json({"VAESNE_BF16": "0"}, attempts=1, timeout=540)
     cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_fp32.json")
