@@ -6,6 +6,14 @@ top of it: bucket padding + cached-program dispatch + CI-band reduction,
 at request sizes that do NOT equal the bucket (the realistic online case),
 with the forced-sync protocol (utils/profiling.honest_sync).
 
+Round-5 additions (VERDICT r4 #4):
+  * N-thread closed-loop concurrent throughput (requests/sec +
+    events/sec) over mixed request sizes — the number that substantiates
+    the thread-safety machinery; VAESNE_SERVE_THREADS overrides N=4.
+  * bf16 serving leg: a second server with ``precision="bf16"`` measured
+    on the same ladder, plus the accuracy delta of its decoded means vs
+    the fp32 server on identical inputs/keys.
+
 Usage (on TPU):  python scripts/bench_serving.py [K] [bucket]
 Prints one JSON line per measured case.
 """
@@ -67,13 +75,26 @@ def main():
         beta=1.0,
     )
 
-    @jax.jit
-    def _init(b):
-        key = jax.random.PRNGKey(0)
-        return model.init({"params": key, "sample": key}, b, 1)
+    # Trained weights when the shipped flagship checkpoint is present (the
+    # bf16-vs-fp32 ACCURACY delta is only meaningful on a trained decoder;
+    # random-init outputs amplify rounding), random init otherwise.
+    ckpt = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "ckpt",
+        "goldstein_photospec_4-4_K2_beta1.0")
+    if os.path.isdir(ckpt):
+        server = InferenceServer.from_checkpoint(ckpt, buckets=(bucket,),
+                                                 seed=0)
+        model, variables = server._model, server._variables
+        print(json.dumps({"weights": "trained", "ckpt": ckpt}), flush=True)
+    else:
+        @jax.jit
+        def _init(b):
+            key = jax.random.PRNGKey(0)
+            return model.init({"params": key, "sample": key}, b, 1)
 
-    variables = _init(jax.device_put(request(2)))
-    server = InferenceServer(model, variables, buckets=(bucket,), seed=0)
+        variables = _init(jax.device_put(request(2)))
+        server = InferenceServer(model, variables, buckets=(bucket,), seed=0)
+        print(json.dumps({"weights": "random-init"}), flush=True)
 
     for task, call in (
         ("crossmodal", lambda p, s, k: server.crossmodal(p, s, K=K, key=k)),
@@ -99,7 +120,70 @@ def main():
                 "request_events": n, "bucket": bucket, "K": K,
                 "value": round(dt * 1e3, 1), "unit": "ms",
                 "events_per_sec": round(n / dt, 1),
-            }))
+            }), flush=True)
+
+    # ---- N-thread closed-loop concurrent throughput ----------------------
+    import threading
+
+    n_threads = int(os.environ.get("VAESNE_SERVE_THREADS", "4"))
+    reqs_per_thread = 6
+    sizes = (7, bucket // 2, bucket - 1, bucket)
+    reqs = [jax.device_put(request(sizes[i % len(sizes)], seed=50 + i))
+            for i in range(n_threads * reqs_per_thread)]
+    errors = []
+
+    def worker(tid):
+        try:
+            for r in range(reqs_per_thread):
+                p, s = reqs[tid * reqs_per_thread + r]
+                honest_sync(server.crossmodal(p, s, K=K))
+        except Exception as e:  # surfaced below — a thread must not die silently
+            errors.append((tid, repr(e)))
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker, args=(t,))
+               for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    assert not errors, errors
+    n_reqs = n_threads * reqs_per_thread
+    n_events = sum(sizes[i % len(sizes)] for i in range(n_reqs))
+    print(json.dumps({
+        "metric": "serving_concurrent_throughput", "threads": n_threads,
+        "requests": n_reqs, "K": K, "bucket": bucket,
+        "value": round(n_reqs / wall, 2), "unit": "requests/sec",
+        "events_per_sec": round(n_events / wall, 1),
+        "wall_s": round(wall, 2),
+    }), flush=True)
+
+    # ---- bf16 serving leg ------------------------------------------------
+    srv16 = InferenceServer(model, variables, buckets=(bucket,), seed=0,
+                            precision="bf16")
+    photo, spec = request(bucket, seed=99)
+    photo, spec = jax.device_put((photo, spec))
+    key = jax.random.PRNGKey(7)
+    honest_sync(srv16.crossmodal(photo, spec, K=K, key=key))  # compile
+    t0 = time.perf_counter()
+    out16 = srv16.crossmodal(photo, spec, K=K, key=key)
+    honest_sync(out16)
+    dt16 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out32 = server.crossmodal(photo, spec, K=K, key=key)
+    honest_sync(out32)
+    dt32 = time.perf_counter() - t0
+    a = np.asarray(out32, np.float32).mean(axis=0)  # posterior-mean spectra
+    b = np.asarray(out16, np.float32).mean(axis=0)
+    print(json.dumps({
+        "metric": "serving_bf16_vs_fp32", "K": K, "bucket": bucket,
+        "fp32_ms": round(dt32 * 1e3, 1), "bf16_ms": round(dt16 * 1e3, 1),
+        "speedup": round(dt32 / dt16, 2),
+        "mean_abs_diff": round(float(np.abs(a - b).mean()), 5),
+        "max_abs_diff": round(float(np.abs(a - b).max()), 5),
+        "fp32_output_std": round(float(a.std()), 5),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -514,3 +514,79 @@ def test_mnist_require_real_raises_without_data(tmp_path):
     # and the fallback still works when not required
     imgs = load_mnist_like(n=2, root=str(tmp_path / "definitely_missing"))
     assert imgs.shape == (2, 1, 60, 60)
+
+
+# ---------------------------------------------------------------------------
+# Real-data readiness drill (VERDICT r4 #8): every npz-based train driver
+# runs end-to-end through the REAL-FILE path — npz written to disk →
+# load_npz → validate_npz → driver — so the only untested element left for
+# a user with the real Goldstein/ZTF files is the bytes themselves.
+# Documented user commands: REALDATA.md.
+# ---------------------------------------------------------------------------
+
+_DRILL_TINY = [
+    "model.latent_len=2", "model.num_layers=1", "model.model_dim=16",
+    "model.num_heads=2", "model.ff_dim=16",
+]
+_DRILL_TRAIN = [
+    "train.epochs=1", "train.batch_size=8", "train.K=1",
+    "train.save_every=1",
+]
+
+NPZ_TRAIN_DRIVERS = [
+    ("train_photometry", "goldstein", _DRILL_TINY),
+    ("train_spectra", "goldstein", _DRILL_TINY),
+    ("train_photospectra", "goldstein", _DRILL_TINY),
+    ("train_contrastive", "goldstein", _DRILL_TINY),
+    ("train_ztf_spectra", "ztf", _DRILL_TINY),
+    ("train_ztf_photospect", "ztf", _DRILL_TINY),
+    ("train_regression", "goldstein",
+     ["modality=photometry", "backbone=end2end"]),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("driver,kind,extra", NPZ_TRAIN_DRIVERS,
+                         ids=[d for d, _, _ in NPZ_TRAIN_DRIVERS])
+def test_every_driver_trains_from_disk_npz(tmp_path, driver, kind, extra):
+    import importlib
+
+    from vaesne_tpu.data import make_goldstein_like, make_ztf_like
+
+    maker = make_ztf_like if kind == "ztf" else make_goldstein_like
+    data = maker(n=16, seed=0, spectrum_bins=48, photometry_length=12)
+    npz = os.path.join(tmp_path, f"{kind}.npz")
+    np.savez(npz, **data)
+    mod = importlib.import_module(f"vaesne_tpu.experiments.{driver}")
+    result = mod.main([
+        f"data={npz}", *extra, *_DRILL_TRAIN,
+        f"train.ckpt_dir={tmp_path}", f"train.log_dir={tmp_path / 'logs'}",
+    ])
+    if isinstance(result, tuple) and len(result) == 2:
+        _, losses = result
+        assert np.isfinite(np.asarray(losses, np.float64)).all()
+    # every driver checkpoints through train_loop: a config.json must exist
+    ckpts = [d for d in os.listdir(tmp_path)
+             if os.path.isdir(os.path.join(tmp_path, d))
+             and os.path.exists(os.path.join(tmp_path, d, "config.json"))]
+    assert ckpts, os.listdir(tmp_path)
+
+
+def test_driver_rejects_contract_violating_npz(tmp_path, monkeypatch):
+    """A real file that violates the npz contract must fail AT LOAD with
+    the validator's problem list, not as NaNs later; VAESNE_SKIP_VALIDATE=1
+    bypasses (both via the driver CLI path)."""
+    from vaesne_tpu.data import make_goldstein_like
+    from vaesne_tpu.experiments.common import resolve_dataset
+
+    data = make_goldstein_like(n=8, seed=0, spectrum_bins=48,
+                               photometry_length=12)
+    data["mask"] = (data["mask"] * 2).astype(data["mask"].dtype)  # not 0/1
+    npz = os.path.join(tmp_path, "bad.npz")
+    np.savez(npz, **data)
+    monkeypatch.delenv("VAESNE_SKIP_VALIDATE", raising=False)
+    with pytest.raises(ValueError, match="npz contract"):
+        resolve_dataset(npz, "goldstein")
+    monkeypatch.setenv("VAESNE_SKIP_VALIDATE", "1")
+    loaded = resolve_dataset(npz, "goldstein")
+    assert "flux" in loaded

@@ -49,9 +49,27 @@ def resolve_dataset(
 ):
     """Load a real npz if ``path`` is given, else generate synthetic data with
     the same key contract (the repo's data symlink is external and absent —
-    SURVEY §6)."""
+    SURVEY §6).
+
+    Real files are validated against the npz contract (SURVEY §6 /
+    test_photospectra.py:22-60) at load: a missing key, flipped mask
+    convention, or non-finite column fails HERE with the full problem list
+    instead of as NaN losses or silent bias three subsystems later
+    (VERDICT r4 #8 — the real-data readiness drill). Set
+    ``VAESNE_SKIP_VALIDATE=1`` to load a nonconforming file anyway."""
     if path:
-        return load_npz(path)
+        data = load_npz(path)
+        if os.environ.get("VAESNE_SKIP_VALIDATE", "0") in ("0", ""):
+            from ..data.validate import validate_npz
+
+            problems = validate_npz(data, kind=kind)
+            if problems:
+                raise ValueError(
+                    f"{path} does not satisfy the {kind} npz contract "
+                    f"(SURVEY §6):\n  - " + "\n  - ".join(problems)
+                    + "\nFix the file or set VAESNE_SKIP_VALIDATE=1 to "
+                    "bypass validation.")
+        return data
     maker = make_goldstein_like if kind == "goldstein" else make_ztf_like
     return maker(n=n_synthetic, seed=seed)
 

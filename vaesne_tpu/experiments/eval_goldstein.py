@@ -10,7 +10,7 @@ the whole test set runs as fixed-shape jitted chunks (SURVEY §2.4 row
 Usage:
   python -m vaesne_tpu.experiments.eval_goldstein \
       [data=/path.npz] [mm_ckpt=./ckpt/goldstein_photospec_...] \
-      [spec_ckpt=...] [K=100] [out=./res]
+      [spec_ckpt=...] [K=100] [out=./res] [predictive=1]
 """
 
 from __future__ import annotations
@@ -63,12 +63,19 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     mm_ckpt = spec_ckpt = None
     K, out_dir, mesh_spec = 100, "./res", "auto"
+    predictive = False
     rest = []
     for a in argv:
         if a.startswith("mm_ckpt="):
             mm_ckpt = a.split("=", 1)[1]
         elif a.startswith("spec_ckpt="):
             spec_ckpt = a.split("=", 1)[1]
+        elif a.startswith("predictive="):
+            # predictive=1: K draws sample the observed-point likelihood, so
+            # coverage/width evaluate the model's calibrated predictive band
+            # instead of the reference's latent-only spread (PARITY.md
+            # "CI coverage"; harness predictive=True)
+            predictive = a.split("=", 1)[1].lower() in ("1", "true", "yes")
         elif a.startswith("K="):
             K = int(a.split("=", 1)[1])
         elif a.startswith("out="):
@@ -118,7 +125,7 @@ def main(argv=None):
 
     recs = mmvae_reconstruction_suite(
         mm_model, mm_vars, test_batch, K=K, key=key,
-        spec_only=spec_only, norm=norm, mesh=mesh,
+        spec_only=spec_only, norm=norm, mesh=mesh, predictive=predictive,
     )
     # reuse the (denormalized) reconstructions — one inference pass total,
     # and metric units consistently physical

@@ -251,6 +251,30 @@ def _ab_unfold() -> bool:
 LOG2E = 1.4426950408889634  # log2(e)
 
 
+def _use_delta() -> bool:
+    """Trace-time knob (``VAESNE_DELTA``): compute the backward's per-row
+    softmax correction with the flash-attention delta identity instead of a
+    full logit-volume reduce.
+
+    Identity (per query row j, with o the FORWARD output and the kernel's
+    own scalings): ``Σ_d do[d,j]·o[d,j] = inv·rdenom_j·Σ_l e_keep∘dp_drop``
+    — i.e. the row factor ``rs`` the folded backward needs equals
+    ``dot(do, o)/inv`` computed over the tiny [Dh, qt] tensors. This
+    removes the ``t_ = e∘u`` full-volume multiply, its [qt, Lk] reduce,
+    and one more full-volume multiply from ``ds`` (now ``e∘(u − rs)``) —
+    ~3 of the backward's full-volume VPU passes. Costs: the forward output
+    is stashed as a residual (same size as q; zero recompute).
+
+    Default ON. Measured at the bench point (2026-08-20, repeated runs —
+    single-run noise on the tunneled chip is ~±0.5%): delta arms 1033.4 /
+    1028.9 / 1028.5 / 1021.4 vs no-delta 1023.7 / 1019.2 samples/sec —
+    ~+0.7% mean, never below the control. ``VAESNE_DELTA=0`` restores the
+    t_-reduce backward."""
+    from .dispatch import env_flag
+
+    return env_flag("VAESNE_DELTA", True)
+
+
 def _use_exp2() -> bool:
     """Trace-time knob (``VAESNE_EXP2``, default ON): compute the softmax
     numerator as ``exp2(s·log2e − max(s·log2e))`` with log2e pre-folded
@@ -327,8 +351,10 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, rate, lq, qt, interpret=False,
-                single_draw=False):
+                *refs, rate, lq, qt, interpret=False,
+                single_draw=False, delta=False):
+    o_ref = refs[0] if delta else None
+    dq_ref, dk_ref, dv_ref = refs[-3:]
     # q/do columns beyond lq hold undefined data (can be NaN/inf): zero at
     # load so 0-weighted contributions stay 0 (0*NaN == NaN).
     vcol = _valid_mask(lq, qt, q_ref[0].shape, 1)  # [Dh, qt]
@@ -348,7 +374,6 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         q, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * ((LOG2E if exp2 else 1.0) * scale)
     s = s + (bias * LOG2E if exp2 else bias)[None, :]
-    vrow = _valid_mask(lq, qt, s.shape, 0)  # [qt, Lk]
     # dp_drop [qt, Lk] = do^T v  (contract Dh)
     dp_drop = jax.lax.dot_general(
         do, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -363,6 +388,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     if _ab_divide() or unfold:
         # A/B-only reference path: full [qt, Lk] softmax divide + the
         # (optionally unfolded) dropout rescales — the pre-round-4 body.
+        vrow = _valid_mask(lq, qt, s.shape, 0)  # [qt, Lk]
         p = jax.nn.softmax(s, axis=-1)  # recomputed, [qt, Lk]
         if rate > 0.0:
             keep = _dropout_mask(seed_ref, p.shape, rate, qt, interpret,
@@ -416,9 +442,29 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     else:
         e_keep = e
         u = dp_drop
-    t_ = e * u  # e∘dp (dp without inv; inv folds into c below)
-    rs = jnp.sum(t_, axis=-1) * rdenom  # [qt] = Σ dp∘p per row
-    ds_un = jnp.where(vrow, t_ - e * rs[:, None], 0.0)
+    if delta:
+        # flash-attention delta identity: Σ_l (e_keep∘dp_drop)·rdenom per
+        # row equals dot(do, o)/inv over the TINY [Dh, qt] tensors — no
+        # t_ = e∘u full-volume multiply, no [qt, Lk] reduce (see
+        # _use_delta). o at invalid query cols can be NaN (garbage q went
+        # through exp in the forward): zero like do so 0·NaN never forms.
+        o = jnp.where(vcol, o_ref[0].astype(jnp.float32), 0.0)
+        rs = jnp.sum(do.astype(jnp.float32) * o, axis=0) * (1.0 / inv)  # [qt]
+        ds_un = e * (u - rs[:, None])
+    else:
+        t_ = e * u  # e∘dp (dp without inv; inv folds into c below)
+        rs = jnp.sum(t_, axis=-1) * rdenom  # [qt] = Σ dp∘p per row
+        ds_un = t_ - e * rs[:, None]
+    # NO [qt, Lk] row-validity selects here (round 5; the A/B branch keeps
+    # them): they are provably redundant. Invalid query rows have q and do
+    # zeroed at load (vcol), so s = bias there, e is finite, denom >= 1
+    # (max-subtraction guarantees one e == 1) => rdenom, rs, ds_un are all
+    # FINITE at invalid rows; dk = Σ_j (q·c)[·,j] ds_un[j,·] and
+    # dv = Σ_j (do·s')[·,j] e_keep[j,·] contract over j with zero factors
+    # there, and dq's invalid columns fall outside the block's array bounds
+    # (the OOB write is discarded). Pinned on real hardware by the
+    # scripts/check_kernel_tpu.py directional-derivative checks at
+    # Lq=982 < qt=1024 (garbage VMEM in the padding region).
     c = (scale * inv) * rdenom  # [qt] per-row factor of ds
     dq_ref[0] = (jax.lax.dot_general(
         k, ds_un, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -427,9 +473,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         q * c[None, :], ds_un, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dk_ref.dtype)
-    e_acc = jnp.where(vrow, e_keep, 0.0)
     dv_ref[0] += jax.lax.dot_general(
-        do * (inv * rdenom)[None, :], e_acc, (((1,), (0,)), ((), ())),
+        do * (inv * rdenom)[None, :], e_keep, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
 
@@ -492,21 +537,28 @@ def _fwd_pallas(seed, q, k, v, bias3, num_heads, rate, interpret):
     )(seed, q, k, v, bias3)
 
 
-def _bwd_pallas(seed, q, k, v, bias3, do, num_heads, rate, interpret):
-    """The raw backward pallas_call on (per-shard) shapes; bias3 [B, 1, Lk]."""
+def _bwd_pallas(seed, q, k, v, bias3, do, o, num_heads, rate, interpret):
+    """The raw backward pallas_call on (per-shard) shapes; bias3 [B, 1, Lk].
+
+    ``o`` is the forward output residual for the delta-trick row correction
+    (``_use_delta``) — pass None to run the t_-reduce formulation (the
+    operand is then never DMA'd)."""
     B, E, Lq = q.shape
     Lk = k.shape[2]
     dh = E // num_heads
     qt = _q_tile(Lq, "VAESNE_ATTN_QT_BWD", q.dtype)
     n_tiles = pl.cdiv(Lq, qt)
     qspec, kspec, bspec, sspec = _specs(dh, Lk, qt)
+    delta = o is not None
     kernel = functools.partial(_bwd_kernel, rate=rate, lq=Lq, qt=qt,
                                interpret=bool(interpret),
-                               single_draw=_single_draw(Lq, q.dtype))
+                               single_draw=_single_draw(Lq, q.dtype),
+                               delta=delta)
     return pl.pallas_call(
         kernel,
         grid=(B, num_heads, n_tiles),
-        in_specs=[sspec, qspec, kspec, kspec, bspec, qspec],
+        in_specs=[sspec, qspec, kspec, kspec, bspec, qspec]
+        + ([qspec] if delta else []),
         out_specs=(qspec, kspec, kspec),
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -514,7 +566,7 @@ def _bwd_pallas(seed, q, k, v, bias3, do, num_heads, rate, interpret):
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
         interpret=interpret,
-    )(seed, q, k, v, bias3, do)
+    )(seed, q, k, v, bias3, do, *((o,) if delta else ()))
 
 
 def _seed_lower_fn(inner, mesh, axes, local_b, local_heads, rate):
@@ -614,17 +666,25 @@ def _fwd_partitioned(num_heads, rate, interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_partitioned(num_heads, rate, interpret):
+def _bwd_partitioned(num_heads, rate, interpret, delta):
     """custom_partitioning-wrapped backward (its own custom call under the
-    custom_vjp): same batch + whole-head partitioning as the forward."""
+    custom_vjp): same batch + whole-head partitioning as the forward. With
+    ``delta`` the forward-output residual rides along as a seventh operand,
+    sharded like q."""
     from jax.experimental.custom_partitioning import custom_partitioning
 
     from .partition import replicated
 
-    @custom_partitioning
-    def bwd(seed, q, k, v, bias3, do):
-        return _bwd_pallas(seed, q, k, v, bias3, do, num_heads, rate,
-                           interpret)
+    if delta:
+        @custom_partitioning
+        def bwd(seed, q, k, v, bias3, do, o):
+            return _bwd_pallas(seed, q, k, v, bias3, do, o, num_heads,
+                               rate, interpret)
+    else:
+        @custom_partitioning
+        def bwd(seed, q, k, v, bias3, do):
+            return _bwd_pallas(seed, q, k, v, bias3, do, None, num_heads,
+                               rate, interpret)
 
     def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
         axes_b, axes_e, _, _ = _shard_axes(mesh, arg_shapes, num_heads)
@@ -636,19 +696,27 @@ def _bwd_partitioned(num_heads, rate, interpret):
             mesh, arg_shapes, num_heads)
         s = _qkv_sharding(mesh, axes_b, axes_e)
         arg_shardings = (replicated(mesh), s, s, s,
-                         _bias_sharding(mesh, axes_b), s)
+                         _bias_sharding(mesh, axes_b), s) + ((s,) if delta
+                                                             else ())
         out_shardings = (s, s, s)
-        lower = _seed_lower_fn(
-            lambda seed, q, k, v, bias3, do: _bwd_pallas(
-                seed, q, k, v, bias3, do, heads_local, rate, interpret),
-            mesh, axes_b + axes_e, local_b, heads_local, rate)
+        if delta:
+            def inner(seed, q, k, v, bias3, do, o):
+                return _bwd_pallas(seed, q, k, v, bias3, do, o,
+                                   heads_local, rate, interpret)
+        else:
+            def inner(seed, q, k, v, bias3, do):
+                return _bwd_pallas(seed, q, k, v, bias3, do, None,
+                                   heads_local, rate, interpret)
+        lower = _seed_lower_fn(inner, mesh, axes_b + axes_e, local_b,
+                               heads_local, rate)
         return mesh, lower, out_shardings, arg_shardings
 
     bwd.def_partition(
         partition=partition,
         infer_sharding_from_operands=infer_sharding_from_operands,
-        sharding_rule=("s, b e q, b e m, b e m, b o m, b e q "
-                       "-> b e q, b e m, b e m"),
+        sharding_rule=("s, b e q, b e m, b e m, b o m, b e q"
+                       + (", b e q" if delta else "")
+                       + " -> b e q, b e m, b e m"),
         need_replication_factors=("s", "q", "m", "o"),
     )
     return bwd
@@ -673,19 +741,24 @@ def _attention_fwd(q, k, v, bias, num_heads, rate, interpret, seed):
     # NB: with nondiff_argnums, jax calls fwd with the PRIMAL signature
     # (nondiff args in their original positions); only bwd gets them first.
     out = _attention_fwd_impl(q, k, v, bias, num_heads, rate, interpret, seed)
-    return out, (q, k, v, bias, seed)
+    # out rides the residuals for the delta-trick backward (_use_delta);
+    # it is alive anyway as the consumer's input, so this costs nothing
+    return out, (q, k, v, bias, seed, out)
 
 
 def _attention_bwd(num_heads, rate, interpret, res, do):
-    q, k, v, bias, seed = res
+    q, k, v, bias, seed, out = res
+    o = out if _use_delta() else None
     from .partition import shard_kernels
 
     if shard_kernels():
-        f = _bwd_partitioned(num_heads, float(rate), bool(interpret))
-        dq, dk, dv = f(_seed_arr(seed), q, k, v, bias[:, None, :], do)
+        f = _bwd_partitioned(num_heads, float(rate), bool(interpret),
+                             o is not None)
+        dq, dk, dv = f(_seed_arr(seed), q, k, v, bias[:, None, :], do,
+                       *(() if o is None else (o,)))
     else:
         dq, dk, dv = _bwd_pallas(_seed_arr(seed), q, k, v, bias[:, None, :],
-                                 do, num_heads, rate, interpret)
+                                 do, o, num_heads, rate, interpret)
     return dq, dk, dv, jnp.zeros_like(bias), None
 
 
