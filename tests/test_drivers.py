@@ -590,3 +590,32 @@ def test_driver_rejects_contract_violating_npz(tmp_path, monkeypatch):
     monkeypatch.setenv("VAESNE_SKIP_VALIDATE", "1")
     loaded = resolve_dataset(npz, "goldstein")
     assert "flux" in loaded
+
+
+@pytest.mark.slow
+def test_eval_goldstein_predictive_flag(tmp_path):
+    """`eval_goldstein predictive=1` must widen the CI band: the K draws
+    sample the observed-point likelihood (scale 1), so the band's width is
+    likelihood-dominated where the latent-only band's is not (VERDICT r4
+    #6, PARITY.md "CI coverage")."""
+    from vaesne_tpu.data import make_goldstein_like
+    from vaesne_tpu.experiments import eval_goldstein
+    from vaesne_tpu.experiments.train_photospectra import main as train_main
+
+    data = make_goldstein_like(n=16, seed=0, spectrum_bins=48,
+                               photometry_length=12)
+    npz = os.path.join(tmp_path, "g.npz")
+    np.savez(npz, **data)
+    train_main([
+        f"data={npz}", *_DRILL_TINY, *_DRILL_TRAIN,
+        f"train.ckpt_dir={tmp_path}", f"train.log_dir={tmp_path / 'logs'}",
+    ])
+    ckpt = os.path.join(tmp_path, "goldstein_photospec_2-4_K1_beta1.0")
+    common = [f"data={npz}", f"mm_ckpt={ckpt}", "K=16", "mesh=none"]
+    m_lat = eval_goldstein.main(
+        common + [f"out={tmp_path / 'lat'}"])
+    m_pred = eval_goldstein.main(
+        common + ["predictive=1", f"out={tmp_path / 'pred'}"])
+    w_lat = float(np.nanmean(m_lat["mm_width_mean"]))
+    w_pred = float(np.nanmean(m_pred["mm_width_mean"]))
+    assert w_pred > 2 * w_lat, (w_lat, w_pred)
