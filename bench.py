@@ -66,25 +66,32 @@ TIMED_STEPS = 10
 WINDOWS = 2  # report the best window (honest ~2s/step: keep total wall low)
 
 
-def make_batch(B):
-    # Host-side numpy ONLY: each eager jnp op here would compile its own
-    # tiny XLA program, and the tunneled compile service charges ~60 s per
-    # uncached compile (measured 2026-08-19: six one-op programs at exactly
-    # 60 s spacing burned the fp32 child's whole timeout before the train
-    # step ever compiled). jit converts numpy operands at dispatch with no
-    # standalone programs.
-    rng = np.random.default_rng(0)
+def make_batch(B, num_bands=6, lp=None, ns=None, seed=0):
+    """Host-side synthetic (photometry, spectra) batch at the npz tuple
+    contract. Shared by the secondary benches (scripts/bench_ztf.py passes
+    num_bands=2; scripts/capture_trace.py reuses it verbatim) so the batch
+    contract lives in ONE place.
+
+    Host-side numpy ONLY: each eager jnp op here would compile its own
+    tiny XLA program, and the tunneled compile service charges ~60 s per
+    uncached compile (measured 2026-08-19: six one-op programs at exactly
+    60 s spacing burned the fp32 child's whole timeout before the train
+    step ever compiled). jit converts numpy operands at dispatch with no
+    standalone programs."""
+    lp = LP if lp is None else lp
+    ns = NS if ns is None else ns
+    rng = np.random.default_rng(seed)
     photo = (
-        rng.normal(size=(B, LP)).astype(np.float32),
-        np.sort(rng.uniform(-1, 1, (B, LP)), axis=1).astype(np.float32),
-        rng.integers(0, 6, (B, LP)).astype(np.int32),
-        rng.uniform(size=(B, LP)) < 0.2,
+        rng.normal(size=(B, lp)).astype(np.float32),
+        np.sort(rng.uniform(-1, 1, (B, lp)), axis=1).astype(np.float32),
+        rng.integers(0, num_bands, (B, lp)).astype(np.int32),
+        rng.uniform(size=(B, lp)) < 0.2,
     )
     spec = (
-        rng.normal(size=(B, NS)).astype(np.float32),
-        np.linspace(-1, 1, NS, dtype=np.float32)[None].repeat(B, 0),
+        rng.normal(size=(B, ns)).astype(np.float32),
+        np.linspace(-1, 1, ns, dtype=np.float32)[None].repeat(B, 0),
         rng.normal(size=(B,)).astype(np.float32),
-        rng.uniform(size=(B, NS)) < 0.2,
+        rng.uniform(size=(B, ns)) < 0.2,
     )
     return (photo, spec)
 
@@ -243,7 +250,7 @@ def _run_with_watchdog():
     # varies 250-480 s through the tunnel (2026-08-19), so 540 s admits it
     # while bf16(~100 s warm) + fp32 stays inside the driver's >=900 s
     # per-attempt budget.
-    if os.environ.get("VAESNE_BENCH_SKIP_FP32"):
+    if os.environ.get("VAESNE_BENCH_SKIP_FP32", "0") not in ("0", ""):
         # A/B-sweep mode: the fp32 companion costs 250-480 s through the
         # tunnel; sweeps only compare the bf16 headline. The driver's
         # contract run never sets this.

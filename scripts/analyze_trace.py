@@ -61,8 +61,15 @@ def classify(name: str) -> str:
     them (custom_vjp backward has no 'transpose' in its HLO op name)."""
     low = name.lower()
     if "custom-call" in low and "self_attn" in low:
-        return ("attention bwd (Pallas)" if low.lstrip("%").split("=")[1]
-                .strip().startswith("(") else "attention fwd (Pallas)")
+        # long-form HLO text: "%self_attn.N = (tuple...) custom-call(..." —
+        # the bwd kernel returns the (dq, dk, dv) tuple. Some profiler
+        # versions emit only the short op name; bucket those as unsplit
+        # rather than crashing the report.
+        parts = low.lstrip("%").split("=", 1)
+        if len(parts) < 2:
+            return "attention (Pallas, direction unknown)"
+        return ("attention bwd (Pallas)" if parts[1].strip().startswith("(")
+                else "attention fwd (Pallas)")
     base = low.lstrip("%").split(".")[0].split(" ")[0]
     if base in ("copy", "copy-done", "copy-start", "slice-done"):
         return "layout copies"

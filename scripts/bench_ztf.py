@@ -45,24 +45,11 @@ V5E_PEAK_BF16 = 197e12
 
 
 def make_batch(B, seed=0):
-    # host-side numpy only (tunnel rule: every eager jnp op is its own
-    # ~60 s uncached compile — bench.py make_batch note)
-    import numpy as np
+    # ONE batch-contract implementation for all benches: bench.make_batch
+    # (host-side numpy, tunnel rule documented there)
+    import bench
 
-    rng = np.random.default_rng(seed)
-    photo = (
-        rng.normal(size=(B, LP)).astype(np.float32),
-        np.sort(rng.uniform(-1, 1, (B, LP)), axis=1).astype(np.float32),
-        rng.integers(0, NUM_BANDS, (B, LP)).astype(np.int32),
-        rng.uniform(size=(B, LP)) < 0.2,
-    )
-    spec = (
-        rng.normal(size=(B, NS)).astype(np.float32),
-        np.linspace(-1, 1, NS, dtype=np.float32)[None].repeat(B, 0),
-        rng.normal(size=(B,)).astype(np.float32),
-        rng.uniform(size=(B, NS)) < 0.2,
-    )
-    return (photo, spec)
+    return bench.make_batch(B, num_bands=NUM_BANDS, lp=LP, ns=NS, seed=seed)
 
 
 def _model():

@@ -202,3 +202,28 @@ def test_decode_returns_fused_likelihood(key, photometry_batch, spectra_batch):
         variables = model.init({"params": key, "sample": key}, batch, 1)
         _, px_z, _ = model.apply(variables, batch, 1, rngs={"sample": key})
         assert isinstance(px_z, MaskedGridLaplace)
+
+
+def test_observed_strips_mask_inflation_all_classes():
+    """`.observed` must yield the unit observed-point scale for EVERY
+    likelihood class a decoder can produce — including the materialized
+    1 + big*mask scale that non-default likelihood classes get from
+    BaseVAE._masked_likelihood (a Normal-likelihood VAE must not crash or
+    sample ±big noise under predictive=True)."""
+    import numpy as np
+
+    from vaesne_tpu.distributions import Laplace, MaskedGridLaplace, Normal
+
+    loc = jnp.arange(6.0).reshape(2, 3)
+    mask = jnp.array([[True, False, False], [False, True, False]])
+    inflated = 1.0 + 1e8 * mask.astype(jnp.float32)
+    for d in (MaskedGridLaplace(loc, mask, 1e8),
+              Laplace(loc, inflated),
+              Normal(loc, inflated)):
+        obs = d.observed
+        np.testing.assert_array_equal(np.asarray(obs.loc), np.asarray(loc))
+        np.testing.assert_array_equal(np.asarray(obs.scale),
+                                      np.ones_like(np.asarray(loc)))
+        # a predictive draw stays near loc everywhere, incl. masked bins
+        s = obs.sample(jax.random.PRNGKey(0))
+        assert float(jnp.abs(s - loc).max()) < 20.0

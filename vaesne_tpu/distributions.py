@@ -90,9 +90,14 @@ class Laplace:
 
     @property
     def observed(self) -> "Laplace":
-        """No mask inflation to strip — the distribution itself (predictive-
-        band API parity with :class:`MaskedGridLaplace.observed`)."""
-        return self
+        """The decoder likelihood at the OBSERVED-point scale: Laplace(loc,
+        1). Decoder scales in this framework are always ``1 + big·mask``
+        (materialized by ``BaseVAE._masked_likelihood`` for non-default
+        likelihood classes) or exactly 1 (images) — the inflation encodes
+        masking, not a predictive model, so predictive draws strip it.
+        Meant for ``px_z`` (decoder) distributions; a posterior's learned
+        scale has no observed-point reading."""
+        return Laplace(self.loc, jnp.ones_like(self.loc))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -131,6 +136,14 @@ class Normal:
         return self.loc + self.scale * jax.random.normal(key, shape)
 
     rsample = sample
+
+    @property
+    def observed(self) -> "Normal":
+        """Normal(loc, 1) — the observed-point decoder scale with the
+        ``1 + big·mask`` inflation stripped (see :class:`Laplace.observed`;
+        non-default likelihood classes get the materialized inflated scale
+        from ``BaseVAE._masked_likelihood``)."""
+        return Normal(self.loc, jnp.ones_like(self.loc))
 
 
 @jax.tree_util.register_pytree_node_class

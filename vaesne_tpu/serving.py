@@ -39,6 +39,11 @@ Array = jax.Array
 
 DEFAULT_BUCKETS = (8, 32, 128, 512)
 
+# Serializes program TRACES process-wide: a precision-pinned server scopes
+# VAESNE_BF16 around its trace, and any other server tracing concurrently
+# (even a default-precision one) must not read the flipped value.
+_TRACE_ENV_LOCK = threading.Lock()
+
 # checkpoint ``_config_class`` tag → (driver module with build_model,
 # synthetic-data kind, modality-tuple builder name). Every restorable
 # training config is servable; the per-task methods check model capability
@@ -115,7 +120,6 @@ class InferenceServer:
         # atomic or two requests can sample with the identical key /
         # double-compile the same bucket program
         self._lock = threading.Lock()
-        self._trace_lock = threading.Lock()
         self.hits = 0
         self.compiles = 0
 
@@ -191,28 +195,31 @@ class InferenceServer:
         (``nn.layers.compute_dtype``); the wrapper scopes the env var to the
         traced body — which executes exactly once per program, on its first
         call — so a ``precision=`` server is independent of the process-wide
-        setting. The trace lock serializes first-calls of different programs
-        so a concurrent trace never reads a half-flipped env."""
-        if self._precision is None:
-            return fn
-
+        setting. The trace lock is MODULE-level (``_TRACE_ENV_LOCK``) and
+        taken by EVERY server's traces, precision-pinned or not: the env
+        flip would otherwise race with a concurrent cold trace of any other
+        server instance in the process, permanently caching a
+        wrong-precision program for it."""
         import functools
         import os
 
-        want = "1" if self._precision == "bf16" else "0"
+        want = (None if self._precision is None
+                else "1" if self._precision == "bf16" else "0")
 
         @functools.wraps(fn)
         def traced(*args, **kwargs):
-            with self._trace_lock:
+            with _TRACE_ENV_LOCK:
                 prev = os.environ.get("VAESNE_BF16")
-                os.environ["VAESNE_BF16"] = want
+                if want is not None:
+                    os.environ["VAESNE_BF16"] = want
                 try:
                     return fn(*args, **kwargs)
                 finally:
-                    if prev is None:
-                        os.environ.pop("VAESNE_BF16", None)
-                    else:
-                        os.environ["VAESNE_BF16"] = prev
+                    if want is not None:
+                        if prev is None:
+                            os.environ.pop("VAESNE_BF16", None)
+                        else:
+                            os.environ["VAESNE_BF16"] = prev
 
         return traced
 
